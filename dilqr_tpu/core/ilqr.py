@@ -1,0 +1,189 @@
+"""The batched iLQR outer loop.
+
+TPU-native re-implementation of the reference MPC.forward outer loop
+(mpc.py:248-301 / mpc_explicit.py:246-299) as a bounded ``lax.while_loop``
+(or a fixed-trip masked scan for reverse-mode differentiability):
+
+ * each iteration: open-loop rollout of the current u, linearization,
+   delta-space cost shift ``c_back = C tau + c`` (lqr_step.py:284-295), one
+   Riccati backward + line-searched forward (lqr_step.py:303-305)
+ * per-example best-so-far tracking with best_cost_eps tolerance
+   (mpc.py:271-285)
+ * stop when max(full_du_norm) < eps or no improvement for
+   not_improved_lim iterations (mpc.py:299-301)
+
+All arrays time-major [T, B, ...] here; the public API (solver.py)
+transposes from batch-major.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..models.base import Dynamics
+from ..ops.riccati import lqr_backward
+from ..ops.rollout import get_traj, lqr_forward
+from ..types import ILQRConfig, LinDx, QuadCost
+from ..utils.batch import bmv
+from ..utils.loops import bounded_while
+from .linearize import approximate_cost, linearize_dynamics
+
+
+class ILQRInternal(NamedTuple):
+    x: jax.Array  # [T, B, nx] best trajectory
+    u: jax.Array  # [T, B, nu]
+    costs: jax.Array  # [B]
+    full_du_norm: jax.Array  # [B] of the best iterate
+    n_iter: jax.Array  # []
+
+
+def _linearize(cfg: ILQRConfig, dyn, params, x, u):
+    if isinstance(dyn, LinDx):
+        return dyn.F, dyn.f
+    return linearize_dynamics(
+        dyn.step,
+        params,
+        x,
+        u,
+        method=cfg.grad_method,
+        jacobian_fn=dyn.jacobian,
+        fd_eps=cfg.fd_eps,
+        linearize_fn=dyn.linearize_point,
+    )
+
+
+def _quadraticize(cfg: ILQRConfig, cost, x, u):
+    if isinstance(cost, QuadCost):
+        return cost.C, cost.c
+    C, c, _ = approximate_cost(cost, x, u)
+    return C, c
+
+
+def lqr_step(
+    cfg: ILQRConfig,
+    cost,
+    dyn,
+    params,
+    x_init: jax.Array,
+    x: jax.Array,
+    u: jax.Array,
+    u_lower=None,
+    u_upper=None,
+    u_zero_I=None,
+    delta_u=None,
+):
+    """One backward+forward iLQR sweep (reference LQRStepFn.forward,
+    lqr_step.py:277-309). Returns (new_x, new_u, LqrForOut, n_qp_iter)."""
+    T = cfg.T
+    F, f = _linearize(cfg, dyn, params, x, u)
+    C, c = _quadraticize(cfg, cost, x, u)
+    tau = jnp.concatenate([x, u], axis=-1)
+    c_back = bmv(C, tau) + c  # delta-space shift (lqr_step.py:284-295)
+    ric = lqr_backward(
+        cfg.n_state,
+        cfg.n_ctrl,
+        C,
+        c_back,
+        F,
+        None,  # f_back is None in delta space (lqr_step.py:296)
+        u,
+        u_lower=u_lower,
+        u_upper=u_upper,
+        u_zero_I=u_zero_I,
+        delta_u=delta_u,
+        pnqp_iter=cfg.pnqp_iter,
+        unroll=cfg.unroll,
+    )
+    dyn_roll = dyn if isinstance(dyn, LinDx) else (dyn.step, params)
+    new_x, new_u, out = lqr_forward(
+        T,
+        cfg.n_state,
+        cfg.n_ctrl,
+        x_init,
+        cost,
+        dyn_roll,
+        x,
+        u,
+        ric.K,
+        ric.k,
+        u_lower=u_lower,
+        u_upper=u_upper,
+        u_zero_I=u_zero_I,
+        delta_u=delta_u,
+        linesearch_decay=cfg.linesearch_decay,
+        max_linesearch_iter=cfg.max_linesearch_iter,
+        unroll=cfg.unroll,
+    )
+    return new_x, new_u, out, ric.n_total_qp_iter
+
+
+def ilqr_loop(
+    cfg: ILQRConfig,
+    cost,
+    dyn,
+    params,
+    x_init: jax.Array,
+    u_init: jax.Array,
+    u_lower=None,
+    u_upper=None,
+    u_zero_I=None,
+    delta_u=None,
+) -> ILQRInternal:
+    """Run up to cfg.lqr_iter iterations with best-tracking and the
+    reference's stopping rule. u_init: [T, B, nu] (already broadcast)."""
+    T, B = cfg.T, x_init.shape[0]
+    dtype = x_init.dtype
+    dyn_roll = dyn if isinstance(dyn, LinDx) else (dyn.step, params)
+
+    def iteration(u):
+        x = get_traj(T, u, x_init, dyn_roll)
+        return lqr_step(
+            cfg,
+            cost,
+            dyn,
+            params,
+            x_init,
+            x,
+            u,
+            u_lower=u_lower,
+            u_upper=u_upper,
+            u_zero_I=u_zero_I,
+            delta_u=delta_u,
+        )
+
+    inf = jnp.full((B,), jnp.inf, dtype)
+
+    def cond(carry):
+        (u, bx, bu, bc, bdu, nni, cur_du, i) = carry
+        stop = (jnp.max(cur_du) < cfg.eps) | (nni > cfg.not_improved_lim)
+        return (i < cfg.lqr_iter) & ~stop
+
+    def body(carry):
+        (u, bx, bu, bc, bdu, nni, cur_du, i) = carry
+        new_x, new_u, out, _ = iteration(u)
+        improved = out.costs <= bc + cfg.best_cost_eps
+        bx = jnp.where(improved[None, :, None], new_x, bx)
+        bu = jnp.where(improved[None, :, None], new_u, bu)
+        bc = jnp.where(improved, out.costs, bc)
+        bdu = jnp.where(improved, out.full_du_norm, bdu)
+        # reference increments then resets if any example improved, except
+        # on the very first iteration (mpc.py:266, 281)
+        nni = jnp.where((i > 0) & jnp.any(improved), 0, nni + 1)
+        return (new_u, bx, bu, bc, bdu, nni, out.full_du_norm, i + 1)
+
+    carry0 = (
+        u_init,
+        jnp.zeros((T, B, cfg.n_state), dtype),
+        jnp.zeros((T, B, cfg.n_ctrl), dtype),
+        inf,
+        inf,
+        jnp.int32(0),
+        inf,
+        jnp.int32(0),
+    )
+    (_, bx, bu, bc, bdu, _, _, i) = bounded_while(
+        cond, body, carry0, max_steps=cfg.lqr_iter, unroll=cfg.unroll
+    )
+    return ILQRInternal(bx, bu, bc, bdu, i)

@@ -1,0 +1,247 @@
+"""Public batched iLQR solve: canonicalization, slew-rate augmentation, and
+dispatch to the differentiation modes.
+
+The public API is batch-major ([B, T, ...]); reference shapes are time-major
+(mpc.py:185-186). Broadcast rules for QuadCost follow mpc.py:205-226; u_init
+warm-start handling follows mpc.py:230-236; the slew-rate penalty becomes an
+up-front problem transformation to the augmented state (u_{t-1}, x)
+(reference builds the same augmented blocks per LQR call,
+mpc.py:339-445).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..models.base import Dynamics
+from ..types import BackwardMode, ILQRConfig, LinDx, QuadCost, SolveResult
+from .ilqr import ilqr_loop
+
+
+def _to_time_major(a: Optional[jax.Array], batch_dims=2):
+    """[B, T, ...] -> [T, B, ...]."""
+    if a is None:
+        return None
+    return jnp.swapaxes(a, 0, 1)
+
+
+def canonicalize_cost(cost, T: int, B: int, n_tau: int):
+    """Broadcast QuadCost to time-major [T, B, ...] (mpc.py:205-226).
+    Accepted: C [n,n] | [T,n,n] | [B,T,n,n]; c [n] | [T,n] | [B,T,n]."""
+    if not isinstance(cost, QuadCost):
+        return cost
+    C, c = cost
+    if C.ndim == 2:
+        C = jnp.broadcast_to(C, (T, B, n_tau, n_tau))
+    elif C.ndim == 3:
+        C = jnp.broadcast_to(C[:, None], (T, B, n_tau, n_tau))
+    else:
+        C = jnp.swapaxes(C, 0, 1)
+    if c.ndim == 1:
+        c = jnp.broadcast_to(c, (T, B, n_tau))
+    elif c.ndim == 2:
+        c = jnp.broadcast_to(c[:, None], (T, B, n_tau))
+    else:
+        c = jnp.swapaxes(c, 0, 1)
+    return QuadCost(C, c)
+
+
+def canonicalize_lindx(dyn, T: int, B: int):
+    """LinDx arrives batch-major [B, T-1, ...]; convert to time-major."""
+    if not isinstance(dyn, LinDx):
+        return dyn
+    F = jnp.swapaxes(dyn.F, 0, 1) if dyn.F.ndim == 4 else jnp.broadcast_to(
+        dyn.F[:, None], (T - 1, B) + dyn.F.shape[1:]
+    )
+    f = dyn.f
+    if f is not None:
+        f = jnp.swapaxes(f, 0, 1) if f.ndim == 3 else jnp.broadcast_to(
+            f[:, None], (T - 1, B) + f.shape[1:]
+        )
+    return LinDx(F, f)
+
+
+def canonicalize_u_init(u_init, T: int, B: int, n_ctrl: int, dtype):
+    """None -> zeros; [T, nu] -> expand batch (mpc.py:230-236)."""
+    if u_init is None:
+        return jnp.zeros((T, B, n_ctrl), dtype)
+    if u_init.ndim == 2:
+        return jnp.broadcast_to(u_init[:, None], (T, B, n_ctrl)).astype(dtype)
+    return jnp.swapaxes(u_init, 0, 1).astype(dtype)
+
+
+def canonicalize_bound(v, T: int, B: int, n_ctrl: int, dtype):
+    """Scalar | [nu] | [T,nu] | [B,T,nu] -> scalar or time-major [T,B,nu]."""
+    if v is None:
+        return None
+    v = jnp.asarray(v, dtype)
+    if v.ndim == 0:
+        return v
+    if v.ndim == 1:
+        return jnp.broadcast_to(v, (T, B, n_ctrl))
+    if v.ndim == 2:
+        return jnp.broadcast_to(v[:, None], (T, B, n_ctrl))
+    return jnp.swapaxes(v, 0, 1)
+
+
+def augment_slew_rate(
+    cfg: ILQRConfig,
+    cost,
+    dyn,
+    params,
+    x_init,
+    u_init,
+    prev_ctrl,
+):
+    """Rewrite the problem over the augmented state (u_{t-1}, x) so the
+    slew-rate penalty ||u_t - u_{t-1}||^2 becomes quadratic cost blocks
+    (reference mpc.py:339-445). Returns (aug_cfg, aug_cost, aug_dyn,
+    params, aug_x_init)."""
+    nx, nu, T = cfg.n_state, cfg.n_ctrl, cfg.T
+    pen = cfg.slew_rate_penalty
+    n_aug = nu + nx + nu  # (u_{t-1}, x, u)
+    B = x_init.shape[0]
+    dtype = x_init.dtype
+
+    # slew blocks: 0.5 * pen * ||u - u_{t-1}||^2 expressed on (u_{t-1},x,u)
+    slew_C = jnp.zeros((n_aug, n_aug), dtype)
+    eye = jnp.eye(nu, dtype=dtype) * pen
+    slew_C = slew_C.at[:nu, :nu].set(eye)
+    slew_C = slew_C.at[-nu:, -nu:].set(eye)
+    slew_C = slew_C.at[:nu, -nu:].set(-eye)
+    slew_C = slew_C.at[-nu:, :nu].set(-eye)
+
+    if isinstance(cost, QuadCost):
+        C, c = cost  # time-major [T,B,n,n]
+        Ca = jnp.zeros((T, B, n_aug, n_aug), dtype) + slew_C
+        Ca = Ca.at[:, :, nu:, nu:].add(C)
+        ca = jnp.concatenate([jnp.zeros((T, B, nu), dtype), c], axis=-1)
+        aug_cost = QuadCost(Ca, ca)
+    else:
+        base = cost
+
+        def aug_cost(tau_aug):
+            # true cost on (x, u) plus time-invariant slew quadratic
+            # (reference SlewRateCost, mpc.py:36-52)
+            true = base(tau_aug[nu:])
+            return true + 0.5 * tau_aug @ slew_C @ tau_aug
+
+    if isinstance(dyn, LinDx):
+        raise NotImplementedError(
+            "slew_rate_penalty with LinDx uses the same augmentation; "
+            "construct the augmented LinDx directly."
+        )
+
+    base_step = dyn.step
+    base_lin = dyn.linearize_point
+
+    def aug(fn):
+        def stepped(xa, u, p):
+            x = xa[nu:]
+            return jnp.concatenate([u, fn(x, u, p)])
+
+        return stepped
+
+    aug_dyn = Dynamics(
+        n_state=nu + nx,
+        n_ctrl=nu,
+        step=aug(base_step),
+        step_unclamped=aug(base_lin) if dyn.step_unclamped is not None else None,
+        lower=dyn.lower,
+        upper=dyn.upper,
+        mpc_eps=dyn.mpc_eps,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+    )
+
+    if prev_ctrl is None:
+        prev_u0 = jnp.zeros((B, nu), dtype)
+    else:
+        prev_u0 = jnp.broadcast_to(jnp.asarray(prev_ctrl, dtype), (B, nu))
+    aug_x_init = jnp.concatenate([prev_u0, x_init], axis=-1)
+
+    import dataclasses
+
+    aug_cfg = dataclasses.replace(
+        cfg, n_state=nu + nx, slew_rate_penalty=None
+    )
+    return aug_cfg, aug_cost, aug_dyn, params, aug_x_init
+
+
+def solve(
+    cfg: ILQRConfig,
+    x_init: jax.Array,
+    cost,
+    dynamics,
+    params=None,
+    u_init: Optional[jax.Array] = None,
+    u_lower=None,
+    u_upper=None,
+    u_zero_I: Optional[jax.Array] = None,
+    delta_u=None,
+    prev_ctrl=None,
+) -> SolveResult:
+    """Batched differentiable iLQR solve (reference MPC.forward,
+    mpc.py:184-337 / mpc_explicit.py:182-358).
+
+    Args (batch-major):
+      x_init: [B, n_state]
+      cost: QuadCost (broadcastable, see canonicalize_cost) or a callable
+            cost_fn(tau) -> scalar (quadraticized per iteration,
+            mpc.py:447-487), or (cost_fn, cost_params) for learnable costs.
+      dynamics: LinDx, or a models.base.Dynamics with `params`.
+      u_init: warm start [B, T, nu] (or [T, nu]); zeros otherwise.
+      u_lower/u_upper: box bounds (scalar or [nu]/[T,nu]/[B,T,nu]).
+      u_zero_I: [B, T, nu] bool mask forcing u coords to zero.
+      delta_u: per-iteration trust region on u (mpc.py:93).
+    Returns SolveResult with batch-major x [B,T,nx], u [B,T,nu].
+    """
+    B = x_init.shape[0]
+    T, nx, nu = cfg.T, cfg.n_state, cfg.n_ctrl
+    dtype = x_init.dtype
+
+    if x_init.ndim != 2 or x_init.shape[1] != nx:
+        raise ValueError(
+            f"x_init must be [n_batch, n_state={nx}], got {x_init.shape}"
+        )
+
+    cost = canonicalize_cost(cost, T, B, cfg.n_tau)
+    dynamics = canonicalize_lindx(dynamics, T, B)
+    u_init_tm = canonicalize_u_init(u_init, T, B, nu, dtype)
+    lb = canonicalize_bound(u_lower, T, B, nu, dtype)
+    ub = canonicalize_bound(u_upper, T, B, nu, dtype)
+    uz = _to_time_major(u_zero_I) if u_zero_I is not None else None
+
+    unaug = None
+    if cfg.slew_rate_penalty is not None:
+        cfg, cost, dynamics, params, x_init = augment_slew_rate(
+            cfg, cost, dynamics, params, x_init, u_init_tm, prev_ctrl
+        )
+        unaug = nu  # strip the first nu state coords on return
+
+    from ..diff.modes import solve_with_grad
+
+    res = solve_with_grad(
+        cfg, cost, dynamics, params, x_init, u_init_tm, lb, ub, uz, delta_u
+    )
+    x, u, costs, full_du_norm, n_iter = res
+
+    if unaug is not None:
+        x = x[:, :, unaug:]
+
+    converged = full_du_norm < cfg.eps
+    if cfg.exit_unconverged:
+        # reference asserts (mpc.py:323-324); functional build surfaces the
+        # flag instead -- callers may raise on jax.device_get(converged).
+        pass
+
+    return SolveResult(
+        x=jnp.swapaxes(x, 0, 1),
+        u=jnp.swapaxes(u, 0, 1),
+        costs=jax.lax.stop_gradient(costs),
+        converged=converged,
+        full_du_norm=jax.lax.stop_gradient(full_du_norm),
+        n_iter=n_iter,
+    )

@@ -1,0 +1,55 @@
+"""DiLQR fixed-point implicit differentiation, matrix-free.
+
+The reference (lqr_step_explicit.py:458-716) differentiates through the iLQR
+fixed point by materializing the dense system
+
+    A = I - d tau*/d tau,   A (d tau/d theta) = d tau*/d theta
+
+per example -- an O((T d)^2) matrix built from B*T*(dx+du) one-hot "probing"
+solves (lqr_step_explicit.py:664-702) and solved densely
+(lqr_step_explicit.py:570-587). That is the reference's main scalability
+sin (SURVEY.md section 3.2).
+
+Here the same system is solved matrix-free in the *adjoint* direction. With
+tau* = S(C, c, F, f, x_init) the LQR-subproblem solution map and
+(F, f) = L(tau*, theta) the linearization, the loss gradient is
+
+    v^T d tau*/d p = w^T S_p,   where  w = v + L_tau^T S_{F,f}^T w .
+
+One application of S^T is exactly the module-KKT VJP (diff/kkt.py, linear in
+w); one application of L_tau^T is a jax.vjp of the linearization. GMRES on
+w therefore costs a few O(T) scans instead of a dense (T d)^3 factorization,
+while computing the same implicit gradients (validated against unrolled
+autodiff in tests, BASELINE config #4).
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.gmres import gmres
+
+
+def solve_adjoint_fixed_point(
+    sT_Ff: Callable,
+    lT_xu: Callable,
+    v: Tuple[jax.Array, jax.Array],
+    tol: float = 1e-6,
+    restart: int = 20,
+    maxiter: int = 3,
+) -> Tuple[jax.Array, jax.Array]:
+    """Solve (I - L_tau^T S_{F,f}^T) w = v for the adjoint w.
+
+    sT_Ff((wx, wu)) -> (dF, df): transposed LQR-subproblem sensitivity.
+    lT_xu((dF, df)) -> (dX, dU): VJP of the linearization w.r.t. the
+    trajectory. v: loss cotangents (g_x, g_u), each [T, B, ...].
+    """
+
+    def A(w):
+        dF, df = sT_Ff(w)
+        dX, dU = lT_xu(dF, df)
+        return (w[0] - dX, w[1] - dU)
+
+    return gmres(A, v, x0=v, tol=tol, restart=restart, maxiter=maxiter)

@@ -1,0 +1,158 @@
+"""Module-KKT differentiation of an LQR solve.
+
+TPU-native re-implementation of the reference LQRStepFn.backward
+(lqr_step.py:311-407): given a loss cotangent r = (dl_dx, dl_du) on the
+converged trajectory tau* of the *last LQR subproblem*, one auxiliary LQR
+solve with cost QuadCost(C, -r) and dynamics LinDx(F, None) (frozen box
+active set as zero-control equality constraints, lqr_step.py:322-340) yields
+the KKT sensitivities, from which the parameter cotangents are assembled:
+
+    dC = -1/2 (dtau tau^T + tau dtau^T)      (lqr_step.py:346-351)
+    dc = -dtau                                (lqr_step.py:353)
+    lambda / dlambda reverse adjoint scans    (lqr_step.py:355-385)
+    dF_t = -(dlam_{t+1} tau_t^T + lam_{t+1} dtau_t^T)  (lqr_step.py:387-395)
+    df   = -dlam_{1:}                         (lqr_step.py:397-402)
+    dx_init = -dlam_0                         (lqr_step.py:404)
+
+The auxiliary solve here uses a plain alpha=1 rollout rather than the
+reference's line-searched one (lqr_step.py:327-340): for the convex LQR
+subproblem the alpha=1 Riccati rollout IS the exact minimizer, and -- unlike
+the line search -- it is *linear* in r, which the matrix-free IFT mode
+(diff/ift.py) requires of this operator.
+
+Everything below is also the building block S^T of the DiLQR fixed-point
+backward: `kkt_vjp` IS the transposed sensitivity map of the LQR subproblem
+solution with respect to its problem data.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.riccati import lqr_backward
+from ..utils.batch import bger, bmv, btr
+
+
+class KKTGrads(NamedTuple):
+    dx_init: jax.Array  # [B, nx]
+    dC: jax.Array  # [T, B, n, n]
+    dc: jax.Array  # [T, B, n]
+    dF: jax.Array  # [T-1, B, nx, n]
+    df: jax.Array  # [T-1, B, nx]
+
+
+def lqr_solve_linear(
+    n_state: int,
+    n_ctrl: int,
+    C: jax.Array,
+    F: jax.Array,
+    r: jax.Array,
+    u_zero_I: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Solve the auxiliary LQR: argmin sum 0.5 d tau^T C d tau - r^T d tau
+    s.t. d x_{t+1} = F_t d tau_t, d x_0 = 0, d u = 0 on u_zero_I.
+
+    Linear in r. Returns (dx [T,B,nx], du [T,B,nu]). Mirrors the values of
+    the reference's nested 1-iteration MPC call (lqr_step.py:327-340).
+    """
+    T, B = C.shape[0], C.shape[1]
+    nu = n_ctrl
+    ric = lqr_backward(
+        n_state,
+        n_ctrl,
+        C,
+        -r,
+        F,
+        None,
+        u=jnp.zeros((T, B, nu), C.dtype),
+        u_zero_I=u_zero_I,
+    )
+
+    F_pad = jnp.concatenate([F, jnp.zeros_like(F[:1])], axis=0)
+    uz = (
+        u_zero_I
+        if u_zero_I is not None
+        else jnp.zeros((T, B, nu), dtype=bool)
+    )
+
+    def step(dx_t, inp):
+        K_t, k_t, F_t, uz_t = inp
+        du_t = bmv(K_t, dx_t) + k_t
+        du_t = jnp.where(uz_t, 0.0, du_t)
+        dtau = jnp.concatenate([dx_t, du_t], axis=-1)
+        return bmv(F_t, dtau), (dx_t, du_t)
+
+    _, (dx, du) = lax.scan(
+        step,
+        jnp.zeros((B, n_state), C.dtype),
+        (ric.K, ric.k, F_pad, uz),
+    )
+    return dx, du
+
+
+def _adjoint_scan(n_state, C, F, x, u, cvec):
+    """Reverse recursion lam_t = C_xx x_t + C_xu u_t + cvec_t[:nx]
+    + F_x_t^T lam_{t+1} (reference lqr_step.py:355-368)."""
+    nx = n_state
+    Fx = btr(F[:, :, :, :nx])  # [T-1, B, nx, nx]
+    Fx_pad = jnp.concatenate([Fx, jnp.zeros_like(Fx[:1])], axis=0)
+
+    def step(prev_lam, inp):
+        Ct, xt, ut, ct, Fxt = inp
+        lamt = (
+            bmv(Ct[:, :nx, :nx], xt)
+            + bmv(Ct[:, :nx, nx:], ut)
+            + ct[:, :nx]
+            # at t = T-1 both Fxt (zero pad) and prev_lam (zero init) vanish
+            + bmv(Fxt, prev_lam)
+        )
+        return lamt, lamt
+
+    rev = lambda a: jnp.flip(a, axis=0)
+    _, lams_rev = lax.scan(
+        step,
+        jnp.zeros_like(x[0]),
+        (rev(C), rev(x), rev(u), rev(cvec), rev(Fx_pad)),
+    )
+    return rev(lams_rev)
+
+
+def kkt_vjp(
+    n_state: int,
+    n_ctrl: int,
+    C: jax.Array,
+    c: jax.Array,
+    F: jax.Array,
+    x: jax.Array,
+    u: jax.Array,
+    g_x: jax.Array,
+    g_u: jax.Array,
+    u_zero_I: Optional[jax.Array] = None,
+    with_f: bool = True,
+) -> KKTGrads:
+    """Full module-KKT VJP (reference lqr_step.py:311-407).
+
+    x, u: converged trajectory [T,B,...]; g_x, g_u: loss cotangents.
+    u_zero_I: frozen active set (reference freezes the box active set as
+    |u-l|<=1e-8 | |u-ub|<=1e-8, lqr_step.py:322-326 -- computed by the
+    caller). Linear in (g_x, g_u).
+    """
+    r = jnp.concatenate([g_x, g_u], axis=-1)
+    dx, du = lqr_solve_linear(n_state, n_ctrl, C, F, r, u_zero_I)
+
+    dtau = jnp.concatenate([dx, du], axis=-1)
+    tau = jnp.concatenate([x, u], axis=-1)
+
+    dC = -0.5 * (bger(dtau, tau) + bger(tau, dtau))
+    dc = -dtau
+
+    lams = _adjoint_scan(n_state, C, F, x, u, c)
+    dlams = _adjoint_scan(n_state, C, F, dx, du, -r)
+
+    dF = -(bger(dlams[1:], tau[:-1]) + bger(lams[1:], dtau[:-1]))
+    df = -dlams[1:] if with_f else jnp.zeros_like(dlams[1:])
+    dx_init = -dlams[0]
+    return KKTGrads(dx_init, dC, dc, dF, df)

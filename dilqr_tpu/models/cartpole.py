@@ -1,0 +1,74 @@
+"""Cartpole, 5-state (x, x_dot, cos th, sin th, th_dot), 1 control
+(force, +-100). TPU-native port of the reference env behavior
+(env_dx/cartpole.py:29-97): the classic Euler-integrated cartpole with
+dt=0.05 and params theta = (gravity, masscart, masspole, length).
+Jacobians come from jax.jacfwd of `step_unclamped`, replacing ~740 lines of
+symbolic expressions (cartpole.py:99-839).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .base import Dynamics
+
+DT = 0.05
+FORCE_MAG = 100.0
+N_STATE, N_CTRL = 5, 1
+
+GOAL_STATE = jnp.array([0.0, 0.0, 1.0, 0.0, 0.0])
+GOAL_WEIGHTS = jnp.array([0.1, 0.1, 1.0, 1.0, 0.1])
+CTRL_PENALTY = 1e-3
+
+
+def _step(state, u, params, clamp_u: bool):
+    gravity, masscart, masspole, length = params
+    total_mass = masspole + masscart
+    polemass_length = masspole * length
+
+    uu = u[0]
+    if clamp_u:
+        uu = jnp.clip(uu, -FORCE_MAG, FORCE_MAG)
+
+    x, dx, cos_th, sin_th, dth = state
+    th = jnp.arctan2(sin_th, cos_th)
+
+    cart_in = (uu + polemass_length * dth**2 * sin_th) / total_mass
+    th_acc = (gravity * sin_th - cos_th * cart_in) / (
+        length * (4.0 / 3.0 - masspole * cos_th**2 / total_mass)
+    )
+    xacc = cart_in - polemass_length * th_acc * cos_th / total_mass
+
+    x = x + DT * dx
+    dx = dx + DT * xacc
+    th = th + DT * dth  # reference uses the pre-update th_dot (cartpole.py:90)
+    dth = dth + DT * th_acc
+    return jnp.stack([x, dx, jnp.cos(th), jnp.sin(th), dth])
+
+
+def default_params() -> jnp.ndarray:
+    """(gravity, masscart, masspole, length) = (9.8, 1.0, 0.1, 0.5)
+    (reference cartpole.py:39)."""
+    return jnp.array([9.8, 1.0, 0.1, 0.5])
+
+
+def get_true_obj(n_ctrl: int = N_CTRL):
+    """Diagonal cost spec (reference cartpole.py:859-867)."""
+    q = jnp.concatenate([GOAL_WEIGHTS, CTRL_PENALTY * jnp.ones(n_ctrl)])
+    px = -jnp.sqrt(GOAL_WEIGHTS) * GOAL_STATE
+    p = jnp.concatenate([px, jnp.zeros(n_ctrl)])
+    return q, p
+
+
+def make() -> Dynamics:
+    return Dynamics(
+        n_state=N_STATE,
+        n_ctrl=N_CTRL,
+        step=lambda x, u, p: _step(x, u, p, clamp_u=True),
+        step_unclamped=lambda x, u, p: _step(x, u, p, clamp_u=False),
+        lower=-FORCE_MAG,
+        upper=FORCE_MAG,
+        # per-env MPC hyper-parameters (reference cartpole.py:60-62)
+        mpc_eps=1e-4,
+        linesearch_decay=0.5,
+        max_linesearch_iter=2,
+    )

@@ -1,0 +1,147 @@
+"""Rocket soft-landing, 13-state quaternion rigid body
+(r[3], v[3], q[4], w[3]), 3 controls (thrust vector, box +-20).
+TPU-native port of the reference env behavior (env_dx/rocket.py:17-164):
+
+ * direction-cosine matrix from the quaternion (rocket.py:116-121)
+ * gravity (-10, 0, 0) along the first axis (rocket.py:125)
+ * quaternion kinematics dq = 0.5 Omega(w) q (rocket.py:135-144)
+ * torque = r_T_B x T_B with r_T_B = (-l/2, 0, 0), Euler rotational
+   dynamics dw = J^-1 (torque - w x J w) (rocket.py:147-152)
+ * Euler integration with dt = 0.1 (rocket.py:154-156)
+
+Behavioral quirk reproduced (flag-gated): the reference computes a
+normalized quaternion into a copy but returns the UN-normalized state
+(rocket.py:158-164); `normalize_quat=False` is therefore the default.
+
+Jacobians come from jax.jacfwd, replacing ~500 lines of sparse index-writes
+("CasADi 1:1 conversion", rocket.py:324-823).
+
+Note: the reference detaches params inside forward (rocket.py:100), so its
+rocket cannot backprop to params through the step; here the step is fully
+differentiable.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .base import Dynamics
+
+DT = 0.1
+N_STATE, N_CTRL = 13, 3
+MAX_THRUST = 20.0**2  # clamp inside forward (rocket.py:64,111); the box
+# bounds +-20 (rocket.py:80) keep it inactive in practice
+
+GOAL_WEIGHTS = (
+    jnp.ones(N_STATE).at[0:3].set(10.0).at[3:6].set(1.0).at[6:10].set(0.1).at[10:].set(1.0)
+)
+GOAL_STATE = jnp.zeros(N_STATE).at[6].set(1.0)
+SIDE_PENALTY = 1.0
+THRUST_PENALTY = 0.4
+CTRL_PENALTY = jnp.array([SIDE_PENALTY, SIDE_PENALTY, THRUST_PENALTY])
+TILT_PENALTY = 50.0
+# tilt_Q is pre-multiplied by tilt_penalty at init (rocket.py:74-78)
+TILT_Q = TILT_PENALTY * jnp.array([0.0, 0.0, 4.0, 4.0])
+TILT_P = TILT_PENALTY * jnp.array([0.0, 0.0, 0.0, 0.0])
+
+LOWER = jnp.array([-20.0, -20.0, -20.0])
+UPPER = jnp.array([20.0, 20.0, 20.0])
+
+
+def _dcm_body_to_inertial(q):
+    """C_I_B = C_B_I^T with C_B_I as in rocket.py:116-121."""
+    q0, q1, q2, q3 = q
+    C_B_I = jnp.array(
+        [
+            [1 - 2 * (q2**2 + q3**2), 2 * (q1 * q2 + q0 * q3), 2 * (q1 * q3 - q0 * q2)],
+            [2 * (q1 * q2 - q0 * q3), 1 - 2 * (q1**2 + q3**2), 2 * (q2 * q3 + q0 * q1)],
+            [2 * (q1 * q3 + q0 * q2), 2 * (q2 * q3 - q0 * q1), 1 - 2 * (q1**2 + q2**2)],
+        ]
+    )
+    return C_B_I.T
+
+
+def _omega(w):
+    """Quaternion-rate matrix (rocket.py:135-143)."""
+    w0, w1, w2 = w
+    z = jnp.zeros(())
+    return jnp.array(
+        [
+            [z, -w0, -w1, -w2],
+            [w0, z, w2, -w1],
+            [w1, -w2, z, w0],
+            [w2, w1, -w0, z],
+        ]
+    )
+
+
+def _step(x, u, params, clamp_u: bool, normalize_quat: bool):
+    Jx, Jy, Jz, mass, l = params
+    Jdiag = jnp.array([Jx, Jy, Jz])
+
+    v = x[3:6]
+    q = x[6:10]
+    w = x[10:13]
+
+    T_B = jnp.clip(u, -MAX_THRUST, MAX_THRUST) if clamp_u else u
+
+    C_I_B = _dcm_body_to_inertial(q)
+    g = jnp.array([-10.0, 0.0, 0.0])
+
+    dr = v
+    dv = C_I_B @ T_B / mass + g
+    dq = 0.5 * (_omega(w) @ q)
+
+    r_T_B = jnp.array([-0.5, 0.0, 0.0]) * l
+    torque = jnp.cross(r_T_B, T_B)
+    dw = (torque - jnp.cross(w, Jdiag * w)) / Jdiag
+
+    new_x = x + jnp.concatenate([dr, dv, dq, dw]) * DT
+    if normalize_quat:
+        nq = new_x[6:10]
+        new_x = new_x.at[6:10].set(nq / (jnp.linalg.norm(nq) + 1e-8))
+    return new_x
+
+
+def default_params() -> jnp.ndarray:
+    """(Jx, Jy, Jz, mass, l) = (0.5, 1, 1, 1, 1) (reference rocket.py:29)."""
+    return jnp.array([0.5, 1.0, 1.0, 1.0, 1.0])
+
+
+def get_true_obj():
+    """Diagonal cost (q, p) with the tilt-angle quadratic surrogate folded
+    into the quaternion weights. Reproduces the reference's double
+    tilt_penalty multiplication (rocket.py:74-78 then 225): the effective
+    quaternion weight is 50 * 50 * [0,0,4,4] = [0,0,10000,10000]."""
+    q = jnp.concatenate([GOAL_WEIGHTS, CTRL_PENALTY])
+    q = q.at[6:10].set(TILT_Q * TILT_PENALTY)
+    px = -jnp.sqrt(GOAL_WEIGHTS) * GOAL_STATE
+    px = px.at[6:10].set(-TILT_P * TILT_PENALTY)
+    p = jnp.concatenate([px, jnp.zeros(N_CTRL)])
+    return q, p
+
+
+def get_cost_matrices(n_batch: int, mpc_T: int):
+    """Batched diagonal cost builder (reference rocket.py:234-256; NB the
+    reference's version crashes on a shape mismatch when adding tilt_Q into
+    the 13x13 block -- the working intent, diag(q)/p broadcast, is built
+    here)."""
+    q, p = get_true_obj()
+    Q = jnp.diag(q)
+    Q = jnp.broadcast_to(Q, (n_batch, mpc_T) + Q.shape)
+    p = jnp.broadcast_to(p, (n_batch, mpc_T) + p.shape)
+    return Q, p
+
+
+def make(normalize_quat: bool = False) -> Dynamics:
+    return Dynamics(
+        n_state=N_STATE,
+        n_ctrl=N_CTRL,
+        step=lambda x, u, p: _step(x, u, p, True, normalize_quat),
+        step_unclamped=lambda x, u, p: _step(x, u, p, False, normalize_quat),
+        lower=LOWER,
+        upper=UPPER,
+        # per-env MPC hyper-parameters (reference rocket.py:68-70)
+        mpc_eps=1e-3,
+        linesearch_decay=0.2,
+        max_linesearch_iter=5,
+    )

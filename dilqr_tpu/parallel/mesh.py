@@ -1,0 +1,87 @@
+"""Device-mesh utilities and the sharded solve wrapper.
+
+The reference is single-process/single-device (SURVEY.md section 2.4); its
+only parallel axis is the in-process batch. Here that axis is sharded over
+TPU chips: one mesh axis "batch" spanning all devices (ICI within a host,
+DCN across hosts), inputs sharded with P("batch") on the leading batch dim,
+per-timestep Riccati blocks chip-local, and the only cross-chip collectives
+the implicit reductions XLA inserts for the solver's global stopping rule
+(max over full_du_norm -> pmax over ICI) and any training-loss psum --
+examples are independent.
+
+Use:
+    mesh = batch_mesh()                       # all local devices
+    sres = sharded_solve(mesh, cfg, ...)      # pjit'ed batched solve
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.solver import solve
+from ..types import ILQRConfig, LinDx, QuadCost, SolveResult
+
+
+def batch_mesh(devices=None, axis_name: str = "batch") -> Mesh:
+    """A 1-D mesh over all (or the given) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "batch") -> NamedSharding:
+    """Shard the leading (batch) axis over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(mesh: Mesh, tree, axis_name: str = "batch"):
+    """Place every leaf with its leading axis sharded over the mesh."""
+    sh = batch_sharding(mesh, axis_name)
+
+    def put(a):
+        if a is None:
+            return None
+        return jax.device_put(a, sh)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def sharded_solve(
+    mesh: Mesh,
+    cfg: ILQRConfig,
+    x_init,
+    cost,
+    dynamics,
+    params=None,
+    axis_name: str = "batch",
+    **kwargs,
+) -> SolveResult:
+    """jit the batched solve with batch-sharded inputs/outputs.
+
+    Batch-major layout makes this a pure data-parallel program: XLA keeps
+    every per-example tensor chip-local and inserts collectives only for
+    the scalar convergence reductions inside the outer while_loop.
+    """
+    sh = batch_sharding(mesh, axis_name)
+    rep = NamedSharding(mesh, P())
+
+    def put(a):
+        return None if a is None else jax.device_put(a, sh)
+
+    x_init = put(x_init)
+    if isinstance(cost, QuadCost) and cost.C.ndim == 4:
+        cost = QuadCost(put(cost.C), put(cost.c))
+    if isinstance(dynamics, LinDx):
+        dynamics = LinDx(put(dynamics.F), put(dynamics.f))
+    if params is not None:
+        params = jax.device_put(params, rep)
+
+    fn = jax.jit(
+        functools.partial(solve, cfg),
+        static_argnames=(),
+    )
+    return fn(x_init, cost, dynamics, params=params, **kwargs)

@@ -1,0 +1,152 @@
+"""Problem and result types for the TPU-native differentiable iLQR framework.
+
+Mirrors the *capabilities* of the reference problem types (QuadCost/LinDx
+namedtuples, reference: definitions.py:1-4) but is designed for JAX: every
+type here is a pytree, and all arrays are batch-major ``[B, T, ...]`` at the
+public API boundary (the reference uses time-major ``[T, B, ...]``,
+mpc.py:185-186; we transpose so that the batch axis -- the axis sharded over
+TPU chips -- is leading).
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class QuadCost(NamedTuple):
+    """Quadratic cost ``sum_t 0.5 tau_t^T C_t tau_t + c_t^T tau_t``.
+
+    C: [B, T, n_tau, n_tau] (or broadcastable: [n_tau,n_tau], [T,n_tau,n_tau])
+    c: [B, T, n_tau]        (or broadcastable)
+
+    Reference: definitions.py:3, broadcast rules mpc.py:205-226.
+    """
+
+    C: jax.Array
+    c: jax.Array
+
+
+class LinDx(NamedTuple):
+    """Time-varying affine dynamics ``x_{t+1} = F_t tau_t + f_t``.
+
+    F: [B, T-1, n_state, n_tau]
+    f: [B, T-1, n_state] or None
+
+    Reference: definitions.py:4.
+    """
+
+    F: jax.Array
+    f: Optional[jax.Array] = None
+
+
+class GradMethod(enum.Enum):
+    """How to linearize non-linear dynamics (reference: mpc.py:29-33).
+
+    ANALYTIC here means "the env provides a jacobian function"; by default
+    envs derive it with jax.jacfwd of their forward function, which is both
+    analytic and exact -- replacing the reference's ~2300 lines of
+    hand-transcribed symbolic Jacobians (env_dx/pendulum.py:127-515 etc.).
+    """
+
+    AUTO_DIFF = 1
+    FINITE_DIFF = 2
+    ANALYTIC = 3
+    ANALYTIC_CHECK = 4
+
+
+class BackwardMode(enum.Enum):
+    """How gradients flow through the solver.
+
+    KKT: O(T) module-KKT VJP of the last LQR subproblem
+         (reference: lqr_step.py:311-407).
+    IFT: DiLQR fixed-point implicit differentiation; gradients w.r.t. cost
+         and dynamics parameters through the iLQR fixed point
+         (reference: lqr_step_explicit.py:458-716). Implemented matrix-free
+         here: a few VJP applications of the fixed-point map replace the
+         reference's dense (T*d)^2 probing solve.
+    UNROLL: plain reverse-mode autodiff through the (fixed-trip-count)
+         solver; the validation oracle. The reference cannot do this cheaply.
+    """
+
+    KKT = 1
+    IFT = 2
+    UNROLL = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class ILQRConfig:
+    """Static solver configuration (hashable; safe to close over under jit).
+
+    Mirrors the reference MPC knobs (mpc.py:123-144). Bounds are passed at
+    call time (they may be traced arrays); everything here shapes the
+    compiled program.
+    """
+
+    n_state: int
+    n_ctrl: int
+    T: int
+    lqr_iter: int = 10
+    grad_method: GradMethod = GradMethod.ANALYTIC
+    eps: float = 1e-7
+    back_eps: float = 1e-7
+    linesearch_decay: float = 0.2
+    max_linesearch_iter: int = 10
+    exit_unconverged: bool = False
+    detach_unconverged: bool = True
+    backprop: bool = True
+    not_improved_lim: int = 5
+    best_cost_eps: float = 1e-4
+    backward_mode: BackwardMode = BackwardMode.KKT
+    # pnqp box-QP controls (reference: pnqp.py:5, lqr_step.py:135-137)
+    pnqp_iter: int = 20
+    # Use a differentiable fixed-trip-count outer loop (lax.scan with masks)
+    # instead of lax.while_loop. Required for BackwardMode.UNROLL; the
+    # while_loop build exits early and is faster for inference.
+    unroll: bool = False
+    # Finite-difference epsilon for GradMethod.FINITE_DIFF
+    # (reference: mpc.py:571-575 uses 1e-4).
+    fd_eps: float = 1e-4
+    # Slew-rate penalty on ||u_t - u_{t-1}||^2 (reference: mpc.py:339-445).
+    slew_rate_penalty: Optional[float] = None
+    # Matrix-free IFT (BackwardMode.IFT) GMRES controls; total matvecs is
+    # bounded by ift_restart * ift_maxiter, each one O(T) scan work.
+    ift_tol: float = 1e-7
+    ift_restart: int = 20
+    ift_maxiter: int = 3
+
+    @property
+    def n_tau(self) -> int:
+        return self.n_state + self.n_ctrl
+
+
+class SolveResult(NamedTuple):
+    """Output of a batched iLQR solve.
+
+    x: [B, T, n_state] optimal state trajectory
+    u: [B, T, n_ctrl] optimal controls
+    costs: [B] per-example objective of the best-so-far trajectory
+        (reference: mpc.py:336, best-tracking at mpc.py:271-285)
+    converged: [B] bool, per-example ||full_du|| < eps at exit
+    full_du_norm: [B] the alpha=1 control-step norm at the last iteration
+        (reference: lqr_step.py:243-245)
+    n_iter: [] int32, outer iLQR iterations executed
+    """
+
+    x: jax.Array
+    u: jax.Array
+    costs: jax.Array
+    converged: jax.Array
+    full_du_norm: jax.Array
+    n_iter: jax.Array
+
+
+def tree_batch_size(x_init: jax.Array) -> int:
+    return x_init.shape[0]
+
+
+CostFn = Callable[..., Any]  # callable cost: cost_fn(tau_t[n_tau]) -> scalar
+DynFn = Callable[..., Any]  # callable dynamics: f(x[nx], u[nu], params) -> x'

@@ -1,0 +1,287 @@
+"""Generate golden fixtures by RUNNING the PyTorch reference at
+/root/reference (read-only). The resulting .npz files are committed under
+tests/goldens/ so the test suite never needs torch or the reference checkout.
+
+Run from the repo root:  python scripts/make_goldens.py
+"""
+import os
+import sys
+import types
+
+import numpy as np
+
+REF = "/root/reference"
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+os.makedirs(OUT, exist_ok=True)
+
+# rocket.py does `from casadi import *` at import time but only uses casadi
+# in a plotting helper (rocket.py:996-1011); stub it out.
+sys.modules.setdefault("casadi", types.ModuleType("casadi"))
+sys.path.insert(0, REF)
+
+import torch  # noqa: E402
+
+torch.manual_seed(0)
+torch.set_default_dtype(torch.float64)  # goldens in f64; tests compare at f32 tol
+
+
+def save(name, **arrs):
+    np.savez(
+        os.path.join(OUT, name + ".npz"),
+        **{k: np.asarray(v) for k, v in arrs.items()},
+    )
+    print("wrote", name, {k: tuple(np.shape(v)) for k, v in arrs.items()})
+
+
+def golden_pnqp():
+    from pnqp import pnqp
+
+    torch.manual_seed(1)
+    B, n = 16, 3
+    A = torch.randn(B, n, n)
+    H = A @ A.transpose(1, 2) + 0.1 * torch.eye(n)
+    q = torch.randn(B, n)
+    lower = -torch.ones(B, n) * 0.5
+    upper = torch.ones(B, n) * 0.5
+    x, H_, If, i = pnqp(H, q, lower, upper, n_iter=20)
+    save("pnqp", H=H, q=q, lower=lower, upper=upper, x=x, If=If, n_iter=i)
+
+    # warm-started variant
+    x0 = torch.randn(B, n) * 0.3
+    x2, _, If2, i2 = pnqp(H, q, lower, upper, x_init=x0.clone(), n_iter=20)
+    save("pnqp_warm", x_init=x0, x=x2, If=If2, n_iter=i2)
+
+    # n == 1 scalar path
+    torch.manual_seed(2)
+    H1 = torch.rand(B, 1, 1) + 0.5
+    q1 = torch.randn(B, 1)
+    l1, u1 = -torch.ones(B, 1), torch.ones(B, 1)
+    x1, _, If1, i1 = pnqp(H1, q1, l1, u1, n_iter=20)
+    save("pnqp_n1", H=H1, q=q1, lower=l1, upper=u1, x=x1, If=If1)
+
+
+def golden_lqr_lindx():
+    """Exact time-varying LQR with LinDx dynamics (unconstrained + boxed)."""
+    import mpc as ref_mpc
+
+    torch.manual_seed(3)
+    T, B, nx, nu = 10, 8, 3, 2
+    n = nx + nu
+    A = torch.randn(T, B, n, n)
+    C = A @ A.transpose(2, 3) + 0.5 * torch.eye(n)
+    c = torch.randn(T, B, n)
+    F = torch.randn(T - 1, B, nx, n) * 0.3
+    F[..., :nx] += torch.eye(nx)  # stable-ish
+    f = torch.randn(T - 1, B, nx) * 0.1
+    x_init = torch.randn(B, nx)
+
+    for tag, bounds in [("unc", None), ("box", 0.5)]:
+        kw = {}
+        if bounds is not None:
+            kw = dict(u_lower=-bounds, u_upper=bounds)
+        solver = ref_mpc.MPC(
+            nx,
+            nu,
+            T,
+            lqr_iter=10,
+            verbose=-1,
+            exit_unconverged=False,
+            detach_unconverged=False,
+            n_batch=B,
+            eps=1e-7,
+            **kw,
+        )
+        x, u, objs = solver(
+            x_init, ref_mpc.QuadCost(C, c), ref_mpc.LinDx(F, f)
+        )
+        save(
+            f"lqr_lindx_{tag}",
+            C=C,
+            c=c,
+            F=F,
+            f=f,
+            x_init=x_init,
+            x=x.detach(),
+            u=u.detach(),
+            objs=objs.detach(),
+        )
+
+
+def golden_lqr_grad():
+    """Module-KKT backward gradients on a LinDx problem
+    (reference lqr_step.py:311-407)."""
+    import mpc as ref_mpc
+
+    torch.manual_seed(4)
+    T, B, nx, nu = 8, 4, 3, 2
+    n = nx + nu
+    A = torch.randn(T, B, n, n)
+    C = (A @ A.transpose(2, 3) + 0.5 * torch.eye(n)).requires_grad_(True)
+    c = torch.randn(T, B, n, requires_grad=True)
+    F0 = torch.randn(T - 1, B, nx, n) * 0.3
+    F0[..., :nx] += torch.eye(nx)
+    F = F0.requires_grad_(True)
+    f = (torch.randn(T - 1, B, nx) * 0.1).requires_grad_(True)
+    x_init = torch.randn(B, nx, requires_grad=True)
+
+    torch.manual_seed(5)
+    gx = torch.randn(T, B, nx)
+    gu = torch.randn(T, B, nu)
+
+    for tag, bounds in [("unc", None), ("box", 0.5)]:
+        kw = {}
+        if bounds is not None:
+            kw = dict(u_lower=-bounds, u_upper=bounds)
+        solver = ref_mpc.MPC(
+            nx,
+            nu,
+            T,
+            lqr_iter=10,
+            verbose=-1,
+            exit_unconverged=False,
+            detach_unconverged=False,
+            n_batch=B,
+            eps=1e-7,
+            **kw,
+        )
+        x, u, _ = solver(x_init, ref_mpc.QuadCost(C, c), ref_mpc.LinDx(F, f))
+        loss = (x * gx).sum() + (u * gu).sum()
+        grads = torch.autograd.grad(loss, [x_init, C, c, F, f])
+        save(
+            f"lqr_grad_problem_{tag}",
+            C=C.detach(),
+            c=c.detach(),
+            F=F.detach(),
+            f=f.detach(),
+            x_init=x_init.detach(),
+        )
+        save(
+            f"lqr_grad_{tag}",
+            gx=gx,
+            gu=gu,
+            x=x.detach(),
+            u=u.detach(),
+            dx_init=grads[0],
+            dC=grads[1],
+            dc=grads[2],
+            dF=grads[3],
+            df=grads[4],
+        )
+
+
+def _env_mpc_golden(env_name, T, B, lqr_iter, seed, dtype=torch.float32):
+    """Replicates IL_Env.mpc (il_env.py:153-188) on the true env.
+
+    Generated at both f32 (the reference's native precision; comparisons
+    are tolerance-limited by f32 rounding amplified through the chaotic
+    iteration) and f64 (where our solver tracks the reference to ~1e-13 on
+    cartpole, demonstrating exact semantic parity of every discrete
+    line-search/active-set/best-tracking decision)."""
+    sys.path.insert(0, os.path.join(REF, "env_dx"))
+    from mpc_explicit import MPC as ExMPC
+    from mpc_explicit import GradMethods, QuadCost
+    from env_dx import pendulum, cartpole
+
+    torch.set_default_dtype(dtype)
+    torch.manual_seed(seed)
+    if env_name == "pendulum":
+        dx = pendulum.PendulumDx()
+        th = torch.rand(B) * np.pi - np.pi / 2
+        thdot = torch.rand(B) * 2 - 1
+        xinit = torch.stack((torch.cos(th), torch.sin(th), thdot), dim=1)
+    else:
+        dx = cartpole.CartpoleDx()
+        xinit = torch.zeros(B, 5)
+        th = torch.ones(B) * (np.pi / 1.05)
+        xinit[:, 2] = torch.cos(th)
+        xinit[:, 3] = torch.sin(th)
+    xinit = xinit.to(dtype)
+    dx.params = dx.params.detach().to(dtype)
+    q, p = dx.get_true_obj()
+    q, p = q.to(dtype), p.to(dtype)
+    Q = torch.diag(q).unsqueeze(0).unsqueeze(0).repeat(T, B, 1, 1)
+    pT = p.unsqueeze(0).repeat(T, B, 1)
+    x, u, objs = ExMPC(
+        dx.n_state,
+        dx.n_ctrl,
+        T,
+        u_lower=dx.lower,
+        u_upper=dx.upper,
+        lqr_iter=lqr_iter,
+        verbose=-1,
+        exit_unconverged=False,
+        detach_unconverged=False,
+        linesearch_decay=dx.linesearch_decay,
+        max_linesearch_iter=dx.max_linesearch_iter,
+        grad_method=GradMethods.ANALYTIC,
+        eps=dx.mpc_eps,
+    )(xinit, QuadCost(Q, pT), dx)
+    torch.set_default_dtype(torch.float64)
+    suffix = "" if dtype == torch.float32 else "_f64"
+    save(
+        f"mpc_{env_name}{suffix}",
+        x_init=xinit,
+        q=q.detach(),
+        p=p.detach(),
+        x=x.detach(),
+        u=u.detach(),
+        objs=objs.detach(),
+    )
+
+
+def golden_env_forwards():
+    """Env step functions + analytic Jacobians at random points."""
+    sys.path.insert(0, os.path.join(REF, "env_dx"))
+    from env_dx import pendulum, cartpole, rocket
+
+    torch.set_default_dtype(torch.float64)
+    torch.manual_seed(7)
+    B = 32
+
+    pend = pendulum.PendulumDx()
+    pend.params = pend.params.double()
+    x = torch.randn(B, 3)
+    x[:, :2] /= x[:, :2].norm(dim=1, keepdim=True)
+    u = torch.rand(B, 1) * 4 - 2
+    xp = pend(x, u)
+    D = pend.get_linear_dyn(x, u)
+    save("env_pendulum", x=x, u=u, x_next=xp.detach(), D=D.detach())
+
+    cart = cartpole.CartpoleDx()
+    cart.params = cart.params.double()
+    x = torch.randn(B, 5)
+    x[:, 2:4] /= x[:, 2:4].norm(dim=1, keepdim=True)
+    u = torch.rand(B, 1) * 100 - 50
+    xp = cart(x, u)
+    D = cart.get_linear_dyn(x, u)
+    save("env_cartpole", x=x, u=u, x_next=xp.detach(), D=D.detach())
+
+    rock = rocket.RocketDx()
+    rock.params = rock.params.detach().double()
+    x = torch.randn(B, 13) * 0.5
+    x[:, 6:10] /= x[:, 6:10].norm(dim=1, keepdim=True)
+    u = torch.rand(B, 3) * 20 - 10
+    xp = rock(x, u)
+    D = rock.get_linear_dyn(x, u)
+    q, p = rock.get_true_obj()
+    save(
+        "env_rocket",
+        x=x,
+        u=u,
+        x_next=xp.detach(),
+        D=D.detach(),
+        q=q.detach(),
+        p=p.detach(),
+    )
+
+
+if __name__ == "__main__":
+    golden_pnqp()
+    golden_lqr_lindx()
+    golden_lqr_grad()
+    golden_env_forwards()
+    _env_mpc_golden("pendulum", T=20, B=16, lqr_iter=20, seed=11)
+    _env_mpc_golden("cartpole", T=20, B=16, lqr_iter=20, seed=12)
+    _env_mpc_golden("pendulum", T=20, B=16, lqr_iter=20, seed=11, dtype=torch.float64)
+    _env_mpc_golden("cartpole", T=20, B=16, lqr_iter=20, seed=12, dtype=torch.float64)
+    print("all goldens written")
