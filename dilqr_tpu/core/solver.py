@@ -207,6 +207,16 @@ def solve(
             f"x_init must be [n_batch, n_state={nx}], got {x_init.shape}"
         )
 
+    # the whole solve runs in x_init's dtype (the reference type_as-es
+    # everything to x_init, mpc.py:231,236)
+    if isinstance(cost, QuadCost):
+        cost = QuadCost(cost.C.astype(dtype), cost.c.astype(dtype))
+    if isinstance(dynamics, LinDx):
+        dynamics = LinDx(
+            dynamics.F.astype(dtype),
+            None if dynamics.f is None else dynamics.f.astype(dtype),
+        )
+
     cost = canonicalize_cost(cost, T, B, cfg.n_tau)
     dynamics = canonicalize_lindx(dynamics, T, B)
     u_init_tm = canonicalize_u_init(u_init, T, B, nu, dtype)

@@ -15,12 +15,13 @@ DT = 0.05
 FORCE_MAG = 100.0
 N_STATE, N_CTRL = 5, 1
 
-GOAL_STATE = jnp.array([0.0, 0.0, 1.0, 0.0, 0.0])
-GOAL_WEIGHTS = jnp.array([0.1, 0.1, 1.0, 1.0, 0.1])
+GOAL_STATE = jnp.array([0.0, 0.0, 1.0, 0.0, 0.0], jnp.float32)
+GOAL_WEIGHTS = jnp.array([0.1, 0.1, 1.0, 1.0, 0.1], jnp.float32)
 CTRL_PENALTY = 1e-3
 
 
 def _step(state, u, params, clamp_u: bool):
+    params = jnp.asarray(params, state.dtype)  # dtype follows the state
     gravity, masscart, masspole, length = params
     total_mass = masspole + masscart
     polemass_length = masspole * length
@@ -48,14 +49,14 @@ def _step(state, u, params, clamp_u: bool):
 def default_params() -> jnp.ndarray:
     """(gravity, masscart, masspole, length) = (9.8, 1.0, 0.1, 0.5)
     (reference cartpole.py:39)."""
-    return jnp.array([9.8, 1.0, 0.1, 0.5])
+    return jnp.array([9.8, 1.0, 0.1, 0.5], jnp.float32)
 
 
 def get_true_obj(n_ctrl: int = N_CTRL):
     """Diagonal cost spec (reference cartpole.py:859-867)."""
-    q = jnp.concatenate([GOAL_WEIGHTS, CTRL_PENALTY * jnp.ones(n_ctrl)])
+    q = jnp.concatenate([GOAL_WEIGHTS, CTRL_PENALTY * jnp.ones(n_ctrl, jnp.float32)])
     px = -jnp.sqrt(GOAL_WEIGHTS) * GOAL_STATE
-    p = jnp.concatenate([px, jnp.zeros(n_ctrl)])
+    p = jnp.concatenate([px, jnp.zeros(n_ctrl, jnp.float32)])
     return q, p
 
 

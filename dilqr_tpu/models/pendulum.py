@@ -22,12 +22,13 @@ DT = 0.05
 MAX_TORQUE = 2.0
 N_STATE, N_CTRL = 3, 1
 
-GOAL_STATE = jnp.array([1.0, 0.0, 0.0])
-GOAL_WEIGHTS = jnp.array([1.0, 1.0, 0.1])
+GOAL_STATE = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+GOAL_WEIGHTS = jnp.array([1.0, 1.0, 0.1], jnp.float32)
 CTRL_PENALTY = 1e-3
 
 
 def _step(x, u, params, clamp_u: bool, simple: bool):
+    params = jnp.asarray(params, x.dtype)  # dtype follows the state
     if simple:
         g, m, l = params
     else:
@@ -52,16 +53,16 @@ def default_params(simple: bool = True) -> jnp.ndarray:
     """(g, m, l) = (10, 1, 1) (reference pendulum.py:42); the complex
     variant adds damping d and gravity bias b (pendulum.py:45)."""
     if simple:
-        return jnp.array([10.0, 1.0, 1.0])
-    return jnp.array([10.0, 1.0, 1.0, 0.0, 0.0])
+        return jnp.array([10.0, 1.0, 1.0], jnp.float32)
+    return jnp.array([10.0, 1.0, 1.0, 0.0, 0.0], jnp.float32)
 
 
 def get_true_obj(n_ctrl: int = N_CTRL):
     """Diagonal cost spec (q, p) with p = -sqrt(w) * x_goal
     (reference pendulum.py:117-125)."""
-    q = jnp.concatenate([GOAL_WEIGHTS, CTRL_PENALTY * jnp.ones(n_ctrl)])
+    q = jnp.concatenate([GOAL_WEIGHTS, CTRL_PENALTY * jnp.ones(n_ctrl, jnp.float32)])
     px = -jnp.sqrt(GOAL_WEIGHTS) * GOAL_STATE
-    p = jnp.concatenate([px, jnp.zeros(n_ctrl)])
+    p = jnp.concatenate([px, jnp.zeros(n_ctrl, jnp.float32)])
     return q, p
 
 

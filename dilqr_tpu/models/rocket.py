@@ -32,19 +32,20 @@ MAX_THRUST = 20.0**2  # clamp inside forward (rocket.py:64,111); the box
 # bounds +-20 (rocket.py:80) keep it inactive in practice
 
 GOAL_WEIGHTS = (
-    jnp.ones(N_STATE).at[0:3].set(10.0).at[3:6].set(1.0).at[6:10].set(0.1).at[10:].set(1.0)
+    jnp.ones(N_STATE, jnp.float32)
+    .at[0:3].set(10.0).at[3:6].set(1.0).at[6:10].set(0.1).at[10:].set(1.0)
 )
-GOAL_STATE = jnp.zeros(N_STATE).at[6].set(1.0)
+GOAL_STATE = jnp.zeros(N_STATE, jnp.float32).at[6].set(1.0)
 SIDE_PENALTY = 1.0
 THRUST_PENALTY = 0.4
-CTRL_PENALTY = jnp.array([SIDE_PENALTY, SIDE_PENALTY, THRUST_PENALTY])
+CTRL_PENALTY = jnp.array([SIDE_PENALTY, SIDE_PENALTY, THRUST_PENALTY], jnp.float32)
 TILT_PENALTY = 50.0
 # tilt_Q is pre-multiplied by tilt_penalty at init (rocket.py:74-78)
-TILT_Q = TILT_PENALTY * jnp.array([0.0, 0.0, 4.0, 4.0])
-TILT_P = TILT_PENALTY * jnp.array([0.0, 0.0, 0.0, 0.0])
+TILT_Q = TILT_PENALTY * jnp.array([0.0, 0.0, 4.0, 4.0], jnp.float32)
+TILT_P = TILT_PENALTY * jnp.array([0.0, 0.0, 0.0, 0.0], jnp.float32)
 
-LOWER = jnp.array([-20.0, -20.0, -20.0])
-UPPER = jnp.array([20.0, 20.0, 20.0])
+LOWER = jnp.array([-20.0, -20.0, -20.0], jnp.float32)
+UPPER = jnp.array([20.0, 20.0, 20.0], jnp.float32)
 
 
 def _dcm_body_to_inertial(q):
@@ -63,7 +64,7 @@ def _dcm_body_to_inertial(q):
 def _omega(w):
     """Quaternion-rate matrix (rocket.py:135-143)."""
     w0, w1, w2 = w
-    z = jnp.zeros(())
+    z = jnp.zeros((), w.dtype)
     return jnp.array(
         [
             [z, -w0, -w1, -w2],
@@ -75,6 +76,7 @@ def _omega(w):
 
 
 def _step(x, u, params, clamp_u: bool, normalize_quat: bool):
+    params = jnp.asarray(params, x.dtype)  # dtype follows the state
     Jx, Jy, Jz, mass, l = params
     Jdiag = jnp.array([Jx, Jy, Jz])
 
@@ -85,13 +87,13 @@ def _step(x, u, params, clamp_u: bool, normalize_quat: bool):
     T_B = jnp.clip(u, -MAX_THRUST, MAX_THRUST) if clamp_u else u
 
     C_I_B = _dcm_body_to_inertial(q)
-    g = jnp.array([-10.0, 0.0, 0.0])
+    g = jnp.array([-10.0, 0.0, 0.0], x.dtype)
 
     dr = v
     dv = C_I_B @ T_B / mass + g
     dq = 0.5 * (_omega(w) @ q)
 
-    r_T_B = jnp.array([-0.5, 0.0, 0.0]) * l
+    r_T_B = jnp.array([-0.5, 0.0, 0.0], x.dtype) * l
     torque = jnp.cross(r_T_B, T_B)
     dw = (torque - jnp.cross(w, Jdiag * w)) / Jdiag
 
@@ -104,7 +106,7 @@ def _step(x, u, params, clamp_u: bool, normalize_quat: bool):
 
 def default_params() -> jnp.ndarray:
     """(Jx, Jy, Jz, mass, l) = (0.5, 1, 1, 1, 1) (reference rocket.py:29)."""
-    return jnp.array([0.5, 1.0, 1.0, 1.0, 1.0])
+    return jnp.array([0.5, 1.0, 1.0, 1.0, 1.0], jnp.float32)
 
 
 def get_true_obj():
@@ -116,7 +118,7 @@ def get_true_obj():
     q = q.at[6:10].set(TILT_Q * TILT_PENALTY)
     px = -jnp.sqrt(GOAL_WEIGHTS) * GOAL_STATE
     px = px.at[6:10].set(-TILT_P * TILT_PENALTY)
-    p = jnp.concatenate([px, jnp.zeros(N_CTRL)])
+    p = jnp.concatenate([px, jnp.zeros(N_CTRL, jnp.float32)])
     return q, p
 
 

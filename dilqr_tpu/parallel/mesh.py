@@ -73,15 +73,26 @@ def sharded_solve(
         return None if a is None else jax.device_put(a, sh)
 
     x_init = put(x_init)
-    if isinstance(cost, QuadCost) and cost.C.ndim == 4:
+    quad = isinstance(cost, QuadCost)
+    lin = isinstance(dynamics, LinDx)
+    if quad and cost.C.ndim == 4:
         cost = QuadCost(put(cost.C), put(cost.c))
-    if isinstance(dynamics, LinDx):
+    if lin:
         dynamics = LinDx(put(dynamics.F), put(dynamics.f))
     if params is not None:
         params = jax.device_put(params, rep)
 
-    fn = jax.jit(
-        functools.partial(solve, cfg),
-        static_argnames=(),
+    # Dynamics objects and callable costs are static (hashable bundles of
+    # pure functions); only array pytrees go through jit's arguments.
+    @jax.jit
+    def fn(x_init, cost_arrays, dyn_arrays, params):
+        c = QuadCost(*cost_arrays) if quad else cost
+        d = LinDx(*dyn_arrays) if lin else dynamics
+        return solve(cfg, x_init, c, d, params=params, **kwargs)
+
+    return fn(
+        x_init,
+        tuple(cost) if quad else (),
+        tuple(dynamics) if lin else (),
+        params,
     )
-    return fn(x_init, cost, dynamics, params=params, **kwargs)

@@ -1,9 +1,12 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so the
 sharding tests exercise real collectives without TPU hardware (SURVEY.md
-section 4: multi-host tests on a CPU mesh)."""
+section 4: multi-host tests on a CPU mesh).
+
+NB the container's axon TPU plugin registers itself at interpreter start
+(sitecustomize) and overrides JAX_PLATFORMS, so the platform must be forced
+via jax.config AFTER import."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 # x64 available for the exact-parity goldens (solver code is dtype-generic;
 # f32 tests pass f32 arrays explicitly)
 jax.config.update("jax_enable_x64", True)

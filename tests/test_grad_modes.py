@@ -75,6 +75,13 @@ def test_ift_matches_unrolled():
     names = ["dtheta", "dC", "dc"]
     for a, b, n in zip(g_ift, g_unr, names):
         a, b = np.asarray(a), np.asarray(b)
+        if n == "dC":
+            # the IFT/KKT dC is symmetrized (as the reference's,
+            # lqr_step.py:346-351); unrolled autodiff returns the raw
+            # asymmetric cotangent. They are the same gradient on the
+            # symmetric subspace where C lives.
+            a = 0.5 * (a + np.swapaxes(a, -1, -2))
+            b = 0.5 * (b + np.swapaxes(b, -1, -2))
         scale = max(1.0, np.abs(b).max())
         err = np.abs(a - b).max() / scale
         assert err <= 1e-4, f"{n}: IFT vs UNROLL rel err {err:.2e}\n{a}\n{b}"

@@ -1,0 +1,82 @@
+"""Sharded-vs-single-device equality on the virtual 8-device CPU mesh
+(SURVEY.md section 4 item 5), plus the multi-chip training-step dry run."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dilqr_tpu
+from dilqr_tpu import ILQRConfig, QuadCost
+from dilqr_tpu.models import pendulum
+from dilqr_tpu.parallel.mesh import batch_mesh, sharded_solve
+
+
+def _problem(B=16, T=10):
+    dyn, params = pendulum.make(), pendulum.default_params()
+    q, p = pendulum.get_true_obj()
+    rng = np.random.RandomState(3)
+    th = rng.uniform(-1.5, 1.5, B)
+    x_init = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), rng.uniform(-1, 1, B)], 1), jnp.float32
+    )
+    cfg = ILQRConfig(
+        n_state=3,
+        n_ctrl=1,
+        T=T,
+        lqr_iter=10,
+        eps=1e-4,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False,
+        detach_unconverged=False,
+        backprop=False,
+    )
+    return cfg, dyn, params, QuadCost(jnp.diag(q), p), x_init
+
+
+def test_sharded_solve_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    cfg, dyn, params, cost, x_init = _problem()
+
+    ref = dilqr_tpu.solve(
+        cfg, x_init, cost, dyn, params=params, u_lower=-2.0, u_upper=2.0
+    )
+
+    mesh = batch_mesh(jax.devices()[:8])
+    res = sharded_solve(
+        mesh,
+        cfg,
+        x_init,
+        cost,
+        dyn,
+        params=params,
+        u_lower=-2.0,
+        u_upper=2.0,
+    )
+    # batch sharding must not change any example's solution
+    np.testing.assert_allclose(np.asarray(res.u), np.asarray(ref.u), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-5)
+    # outputs actually live sharded over the mesh
+    assert len(res.u.sharding.device_set) == 8
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+
+    sys.path.insert(0, ".")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+
+    sys.path.insert(0, ".")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    u, costs = out
+    assert np.isfinite(np.asarray(u)).all()
