@@ -275,6 +275,137 @@ def golden_env_forwards():
     )
 
 
+
+
+
+def golden_slew_rate():
+    """Slew-rate penalty path (mpc.py:339-445) on the pendulum, f64."""
+    sys.path.insert(0, os.path.join(REF, "env_dx"))
+    import mpc as ref_mpc
+    from env_dx import pendulum
+
+    torch.set_default_dtype(torch.float64)
+    torch.manual_seed(21)
+    T, B = 10, 4
+    dx = pendulum.PendulumDx()
+    dx.params = dx.params.detach().double()
+    th = torch.rand(B) * 2 - 1
+    xinit = torch.stack((torch.cos(th), torch.sin(th), torch.rand(B) - 0.5), dim=1)
+    q, p = dx.get_true_obj()
+    Q = torch.diag(q.double()).unsqueeze(0).unsqueeze(0).repeat(T, B, 1, 1)
+    pT = p.double().unsqueeze(0).repeat(T, B, 1)
+    prev_u = torch.full((1, B, 1), 0.3)
+    solver = ref_mpc.MPC(
+        3, 1, T,
+        u_lower=-2.0, u_upper=2.0,
+        lqr_iter=12, verbose=-1,
+        exit_unconverged=False, detach_unconverged=False,
+        linesearch_decay=0.2, max_linesearch_iter=5,
+        grad_method=ref_mpc.GradMethods.ANALYTIC,
+        eps=1e-4,
+        slew_rate_penalty=1.0,
+        prev_ctrl=prev_u,
+    )
+    # mpc.py ANALYTIC is incompatible with the new env grad_input signature;
+    # monkey-patch the old 2-arg API onto the env via autograd
+    def grad_input(x, u):
+        xs = x.detach().requires_grad_(True)
+        us = u.detach().requires_grad_(True)
+        out = dx.forward(xs, us)
+        R, S = [], []
+        for j in range(3):
+            gx, gu = torch.autograd.grad(out[:, j].sum(), [xs, us], retain_graph=True)
+            R.append(gx); S.append(gu)
+        return torch.stack(R, dim=1), torch.stack(S, dim=1)
+    dx.grad_input = grad_input
+    x, u, objs = solver(xinit, ref_mpc.QuadCost(Q, pT), dx)
+    save("mpc_slew_pendulum_f64", x_init=xinit, q=q.detach(), p=p.detach(),
+         prev_u=prev_u[0], x=x.detach(), u=u.detach(), objs=objs.detach())
+
+
+def golden_u_zero_delta_u():
+    """u_zero_I zero-control constraints and delta_u trust region on a
+    LinDx problem (lqr_step.py:99-127, 200-213), f64."""
+    import mpc as ref_mpc
+
+    torch.set_default_dtype(torch.float64)
+    torch.manual_seed(22)
+    T, B, nx, nu = 8, 4, 3, 2
+    n = nx + nu
+    A = torch.randn(T, B, n, n)
+    C = A @ A.transpose(2, 3) + 0.5 * torch.eye(n)
+    c = torch.randn(T, B, n)
+    F = torch.randn(T - 1, B, nx, n) * 0.3
+    F[..., :nx] += torch.eye(nx)
+    f = torch.randn(T - 1, B, nx) * 0.1
+    x_init = torch.randn(B, nx)
+
+    uz = torch.rand(T, B, nu) < 0.3
+    solver = ref_mpc.MPC(
+        nx, nu, T, u_zero_I=uz, lqr_iter=8, verbose=-1, n_batch=B,
+        exit_unconverged=False, detach_unconverged=False, eps=1e-7)
+    x, u, objs = solver(x_init, ref_mpc.QuadCost(C, c), ref_mpc.LinDx(F, f))
+    save("lqr_uzero_f64", C=C, c=c, F=F, f=f, x_init=x_init,
+         u_zero_I=uz.numpy(), x=x.detach(), u=u.detach(), objs=objs.detach())
+
+    solver = ref_mpc.MPC(
+        nx, nu, T, u_lower=-0.5, u_upper=0.5, delta_u=0.2, lqr_iter=8,
+        verbose=-1, n_batch=B, exit_unconverged=False,
+        detach_unconverged=False, eps=1e-7)
+    x, u, objs = solver(x_init, ref_mpc.QuadCost(C, c), ref_mpc.LinDx(F, f))
+    save("lqr_delta_u_f64", C=C, c=c, F=F, f=f, x_init=x_init,
+         x=x.detach(), u=u.detach(), objs=objs.detach())
+
+
+def golden_nn_dynamics():
+    """NNDynamics MLP forward + analytic grad_input (dynamics.py:15-130)."""
+    from dynamics import NNDynamics
+
+    torch.set_default_dtype(torch.float64)
+    torch.manual_seed(23)
+    net = NNDynamics(3, 2, hidden_sizes=[16], activation="sigmoid",
+                     passthrough=True).double()
+    B = 8
+    x = torch.randn(B, 3)
+    u = torch.randn(B, 2)
+    xp = net(x, u)
+    R, S = net.grad_input(x, u)
+    Ws = [fc.weight.detach().numpy() for fc in net.fcs]
+    bs = [fc.bias.detach().numpy() for fc in net.fcs]
+    save("nn_dynamics", x=x, u=u, x_next=xp.detach(), R=R.detach(),
+         S=S.detach(), W0=Ws[0], b0=bs[0], W1=Ws[1], b1=bs[1])
+
+
+def golden_module_cost():
+    """Callable (nn.Module) cost path: approximate_cost quadraticization
+    (mpc.py:447-487) inside the full solver, f64."""
+    import mpc as ref_mpc
+    from torch import nn
+
+    torch.set_default_dtype(torch.float64)
+    torch.manual_seed(24)
+    T, B, nx, nu = 8, 4, 3, 1
+    n = nx + nu
+    w = torch.rand(n) + 0.5
+    target = torch.randn(n) * 0.3
+
+    class Cost(nn.Module):
+        def forward(self, tau):
+            d = tau - target
+            return 0.5 * (w * d * d).sum(dim=-1) + 0.1 * (d ** 4).sum(dim=-1)
+
+    F = torch.randn(T - 1, B, nx, n) * 0.3
+    F[..., :nx] += torch.eye(nx)
+    f = torch.randn(T - 1, B, nx) * 0.1
+    x_init = torch.randn(B, nx)
+    solver = ref_mpc.MPC(
+        nx, nu, T, lqr_iter=10, verbose=-1, n_batch=B,
+        exit_unconverged=False, detach_unconverged=False, eps=1e-6)
+    x, u, objs = solver(x_init, Cost(), ref_mpc.LinDx(F, f))
+    save("mpc_module_cost_f64", w=w, target=target, F=F, f=f, x_init=x_init,
+         x=x.detach(), u=u.detach(), objs=objs.detach())
+
+
 if __name__ == "__main__":
     golden_pnqp()
     golden_lqr_lindx()
@@ -284,4 +415,8 @@ if __name__ == "__main__":
     _env_mpc_golden("cartpole", T=20, B=16, lqr_iter=20, seed=12)
     _env_mpc_golden("pendulum", T=20, B=16, lqr_iter=20, seed=11, dtype=torch.float64)
     _env_mpc_golden("cartpole", T=20, B=16, lqr_iter=20, seed=12, dtype=torch.float64)
+    golden_slew_rate()
+    golden_u_zero_delta_u()
+    golden_nn_dynamics()
+    golden_module_cost()
     print("all goldens written")
