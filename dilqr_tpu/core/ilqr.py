@@ -95,6 +95,7 @@ def lqr_step(
         delta_u=delta_u,
         pnqp_iter=cfg.pnqp_iter,
         unroll=cfg.unroll,
+        qp_solver=cfg.qp_solver,
     )
     dyn_roll = dyn if isinstance(dyn, LinDx) else (dyn.step, params)
     new_x, new_u, out = lqr_forward(

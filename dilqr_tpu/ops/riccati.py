@@ -88,6 +88,7 @@ def lqr_backward(
     delta_u=None,
     pnqp_iter: int = 20,
     unroll: bool = False,
+    qp_solver: str = "auto",
 ) -> RiccatiResult:
     """Reverse-time Riccati scan. See module docstring for shapes.
 
@@ -145,6 +146,24 @@ def lqr_backward(
                 Kt, kt = _unconstrained_gains(nu, Quu, Qux, qu)
             else:
                 Kt, kt = _zero_constrained_gains(nu, Quu, Qux, qu, uz)
+        elif nu == 1 and qp_solver == "auto":
+            # Closed form: the 1-D box-QP min 0.5 H u^2 + q u on [l, ub] has
+            # the exact minimizer clamp(-q/H, l, ub) (H > 0); pnqp's Newton
+            # iteration converges to it to CONV_TOL=1e-4 (pnqp.py:56-59), so
+            # this is the same answer without the Newton/Armijo while-loops.
+            H = Quu[..., 0]  # [B, 1]
+            kt = clamp(-qu / H, lb, ub)
+            g = H * kt + qu
+            Ic = ((kt <= lb) & (g > 0.0)) | ((kt >= ub) & (g < 0.0))
+            If = 1.0 - Ic.astype(Quu.dtype)
+            # H_free mirrors pnqp's masked+regularized Hessian (pnqp.py:44-49)
+            H_free = Quu * bger(If, If) + 1e-11
+            qp_iters = qp_iters + 1
+            # Zero the active rows of Q_ux before forming K
+            # (reference lqr_step.py:142-148).
+            Kt = -(Qux * If[..., None]) / H_free
+            prev_k = kt
+            has_prev = jnp.asarray(True)
         else:
             # Warm start with the next timestep's k (reference
             # lqr_step.py:135-137); at t=T-1 fall back to pnqp's default

@@ -103,6 +103,13 @@ class ILQRConfig:
     backward_mode: BackwardMode = BackwardMode.KKT
     # pnqp box-QP controls (reference: pnqp.py:5, lqr_step.py:135-137)
     pnqp_iter: int = 20
+    # Box-QP solver selection: "auto" uses the exact closed-form minimizer
+    # clamp(-q/H, l, u) when n_ctrl == 1 (the 1-D box-QP has a closed form;
+    # pnqp's Newton iteration converges to it to its 1e-4 tolerance) and
+    # pnqp otherwise; "pnqp" forces the reference's projected-Newton path,
+    # reproducing its iteration trajectory bit-for-bit (for exact-parity
+    # golden tests).
+    qp_solver: str = "auto"
     # Use a differentiable fixed-trip-count outer loop (lax.scan with masks)
     # instead of lax.while_loop. Required for BackwardMode.UNROLL; the
     # while_loop build exits early and is faster for inference.

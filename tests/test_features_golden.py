@@ -34,6 +34,11 @@ def test_slew_rate_golden(golden):
         exit_unconverged=False,
         slew_rate_penalty=1.0,
         backprop=False,
+        # exact-parity golden: follow the reference's pnqp iteration path
+        # (the default closed-form 1-D QP is exact, ~3e-5 off pnqp's 1e-4-
+        # tolerance iterates; parity for that path is asserted separately in
+        # test_mpc_golden.py)
+        qp_solver="pnqp",
     )
     q = jnp.asarray(g["q"], F64)
     res = dilqr_tpu.solve(

@@ -26,7 +26,7 @@ ENVS = {
 }
 
 
-def _run(golden, name, dtype, u_tol, x_tol):
+def _run(golden, name, dtype, u_tol, x_tol, qp_solver="auto"):
     g = golden(name if dtype == jnp.float32 else name + "_f64")
     dyn, params = ENVS[name]
     T, B = g["u"].shape[0], g["u"].shape[1]
@@ -42,6 +42,7 @@ def _run(golden, name, dtype, u_tol, x_tol):
         exit_unconverged=False,
         backward_mode=BackwardMode.KKT,
         backprop=False,
+        qp_solver=qp_solver,
     )
     q = jnp.asarray(g["q"], dtype)
     p = jnp.asarray(g["p"], dtype)
@@ -68,8 +69,17 @@ def _run(golden, name, dtype, u_tol, x_tol):
 @pytest.mark.parametrize("name", list(ENVS))
 def test_mpc_env_golden_f64_exact(golden, name):
     """The headline parity bar: u-seq max err <= 1e-4 (BASELINE.md),
-    asserted 100x tighter at f64."""
-    _run(golden, name, jnp.float64, u_tol=1e-6, x_tol=1e-6)
+    asserted 100x tighter at f64 with qp_solver="pnqp" (the reference's
+    exact projected-Newton iteration path)."""
+    _run(golden, name, jnp.float64, u_tol=1e-6, x_tol=1e-6, qp_solver="pnqp")
+
+
+@pytest.mark.parametrize("name", list(ENVS))
+def test_mpc_env_golden_f64_closed_form_qp(golden, name):
+    """The default fast path (closed-form 1-D box-QP) solves each Riccati
+    subproblem exactly instead of to pnqp's 1e-4 Newton tolerance; it must
+    still meet the official <=1e-4 u-seq parity bar vs the reference."""
+    _run(golden, name, jnp.float64, u_tol=1e-4, x_tol=1e-4, qp_solver="auto")
 
 
 @pytest.mark.parametrize("name", list(ENVS))
