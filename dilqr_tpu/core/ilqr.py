@@ -96,6 +96,7 @@ def lqr_step(
         pnqp_iter=cfg.pnqp_iter,
         unroll=cfg.unroll,
         qp_solver=cfg.qp_solver,
+        backend=cfg.backend,
     )
     dyn_roll = dyn if isinstance(dyn, LinDx) else (dyn.step, params)
     new_x, new_u, out = lqr_forward(

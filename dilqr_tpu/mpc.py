@@ -83,16 +83,18 @@ class MPC:
         self.verbose = verbose
         self.n_batch = n_batch
 
-    def __call__(self, x_init, cost, dx, params=None):
+    def __call__(self, x_init, cost, dx, params=None, u_init=None):
         """Solve. Returns (x [B,T,nx], u [B,T,nu], costs [B]) like the
-        reference forward (mpc.py:337), batch-major."""
+        reference forward (mpc.py:337), batch-major. ``u_init`` overrides
+        the constructor warm start for this call (the reference mutates
+        ``self.u_init`` between receding-horizon calls, rocket.py:1137)."""
         res = solve(
             self.cfg,
             x_init,
             cost,
             dx,
             params=params,
-            u_init=self.u_init,
+            u_init=u_init if u_init is not None else self.u_init,
             u_lower=self.u_lower,
             u_upper=self.u_upper,
             u_zero_I=self.u_zero_I,
@@ -101,7 +103,7 @@ class MPC:
         )
         return res.x, res.u, res.costs
 
-    def solve(self, x_init, cost, dx, params=None):
+    def solve(self, x_init, cost, dx, params=None, u_init=None):
         """Full-result variant returning types.SolveResult."""
         return solve(
             self.cfg,
@@ -109,7 +111,7 @@ class MPC:
             cost,
             dx,
             params=params,
-            u_init=self.u_init,
+            u_init=u_init if u_init is not None else self.u_init,
             u_lower=self.u_lower,
             u_upper=self.u_upper,
             u_zero_I=self.u_zero_I,

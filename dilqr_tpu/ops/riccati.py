@@ -89,15 +89,41 @@ def lqr_backward(
     pnqp_iter: int = 20,
     unroll: bool = False,
     qp_solver: str = "auto",
+    backend: str = "auto",
 ) -> RiccatiResult:
     """Reverse-time Riccati scan. See module docstring for shapes.
 
     ``u`` [T,B,nu] is the current control iterate; with box bounds the QP is
     solved in delta-space around it (reference lqr_step.py:130-137).
+
+    backend: "auto" uses the fused Pallas TPU kernel (ops/pallas) when the
+    configuration supports it and we are compiling for TPU; "pallas" forces
+    it (interpret-mode off-TPU, for tests); "xla" forces this lax.scan.
     """
     T, B = C.shape[0], C.shape[1]
     nx, nu = n_state, n_ctrl
     boxed = u_lower is not None
+
+    if backend != "xla":
+        from .pallas import lqr_backward_pallas, pallas_supported
+
+        on_tpu = jax.default_backend() == "tpu"
+        if pallas_supported(nu, C.dtype, u_zero_I, qp_solver) and (
+            backend == "pallas" or on_tpu
+        ):
+            K, k = lqr_backward_pallas(
+                nx,
+                C,
+                c,
+                F,
+                u,
+                u_lower=u_lower,
+                u_upper=u_upper,
+                delta_u=delta_u,
+                interpret=not on_tpu,
+            )
+            n_qp = jnp.int32(T if boxed else 0)
+            return RiccatiResult(K, k, n_qp)
 
     # Pad F (and f) with a zero slab at t = T-1 so the scan body is uniform;
     # V_T = 0 makes the padded term vanish (Q_{T-1} = C_{T-1}).

@@ -110,6 +110,12 @@ class ILQRConfig:
     # reproducing its iteration trajectory bit-for-bit (for exact-parity
     # golden tests).
     qp_solver: str = "auto"
+    # Compute backend for the hot solver stages: "auto" uses the fused
+    # Pallas TPU kernels (ops/pallas) when compiling for TPU and the config
+    # supports them (n_ctrl==1, f32, closed-form QP), falling back to the
+    # pure-XLA lax.scan path otherwise; "pallas" forces the kernels
+    # (interpret-mode off TPU -- tests); "xla" disables them.
+    backend: str = "auto"
     # Use a differentiable fixed-trip-count outer loop (lax.scan with masks)
     # instead of lax.while_loop. Required for BackwardMode.UNROLL; the
     # while_loop build exits early and is faster for inference.
