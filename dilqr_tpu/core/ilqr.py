@@ -132,11 +132,41 @@ def ilqr_loop(
     u_upper=None,
     u_zero_I=None,
     delta_u=None,
+    cost_small=None,
+    u_init_zero: bool = False,
 ) -> ILQRInternal:
     """Run up to cfg.lqr_iter iterations with best-tracking and the
-    reference's stopping rule. u_init: [T, B, nu] (already broadcast)."""
+    reference's stopping rule. u_init: [T, B, nu] (already broadcast).
+
+    cost_small: the user's pre-broadcast QuadCost arrays ([n,n]/[T,n,n]),
+    if example-invariant -- lets the fused kernel skip the [T,B,n,n]
+    lanes transpose. u_init_zero: the warm start is known to be zeros.
+    """
     T, B = cfg.T, x_init.shape[0]
     dtype = x_init.dtype
+
+    if cfg.backend != "xla":
+        from ..ops.pallas.ilqr_fused import fused_supported, ilqr_fused
+
+        on_tpu = jax.default_backend() == "tpu"
+        if fused_supported(
+            cfg, cost, dyn, params, u_zero_I, delta_u, dtype
+        ) and (cfg.backend == "pallas" or on_tpu):
+            x, u, costs, du, n_iter = ilqr_fused(
+                cfg,
+                dyn,
+                params,
+                x_init,
+                cost.C,
+                cost.c,
+                None if u_init_zero else u_init,
+                u_lower=u_lower,
+                u_upper=u_upper,
+                cost_small=cost_small,
+                interpret=not on_tpu,
+            )
+            return ILQRInternal(x, u, costs, du, n_iter)
+
     dyn_roll = dyn if isinstance(dyn, LinDx) else (dyn.step, params)
 
     def iteration(u):

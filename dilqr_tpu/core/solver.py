@@ -217,6 +217,13 @@ def solve(
             None if dynamics.f is None else dynamics.f.astype(dtype),
         )
 
+    # forward-only hints for the fused Pallas path: the user's compact
+    # example-invariant cost ([n,n] or [T,n,n]) and a known-zeros warm start
+    cost_small = None
+    if isinstance(cost, QuadCost) and cost.C.ndim in (2, 3) and cost.c.ndim in (1, 2):
+        cost_small = (cost.C, cost.c)
+    u_init_zero = u_init is None
+
     cost = canonicalize_cost(cost, T, B, cfg.n_tau)
     dynamics = canonicalize_lindx(dynamics, T, B)
     u_init_tm = canonicalize_u_init(u_init, T, B, nu, dtype)
@@ -230,11 +237,13 @@ def solve(
             cfg, cost, dynamics, params, x_init, u_init_tm, prev_ctrl
         )
         unaug = nu  # strip the first nu state coords on return
+        cost_small = None  # the augmented cost is rebuilt at [T,B,...]
 
     from ..diff.modes import solve_with_grad
 
     res = solve_with_grad(
-        cfg, cost, dynamics, params, x_init, u_init_tm, lb, ub, uz, delta_u
+        cfg, cost, dynamics, params, x_init, u_init_tm, lb, ub, uz, delta_u,
+        cost_small=cost_small, u_init_zero=u_init_zero,
     )
     x, u, costs, full_du_norm, n_iter = res
 

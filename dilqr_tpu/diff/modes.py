@@ -89,8 +89,14 @@ def solve_with_grad(
     ub,
     uz,
     delta_u,
+    cost_small=None,
+    u_init_zero: bool = False,
 ):
-    """Returns time-major (x, u, costs, full_du_norm, n_iter)."""
+    """Returns time-major (x, u, costs, full_du_norm, n_iter).
+
+    cost_small / u_init_zero: forward-only hints for the fused Pallas path
+    (see core/ilqr.ilqr_loop); cost_small receives zero cotangents -- the
+    backward differentiates the canonical broadcast cost tensors."""
     lin = isinstance(dyn, LinDx)
     quad = isinstance(cost, QuadCost)
 
@@ -108,7 +114,8 @@ def solve_with_grad(
     dyn_in = tuple(dyn) if lin else params
     dyn_static = None if lin else dyn
 
-    def primal(x_init, cost_in, dyn_in, u_init, lb, ub, uz, delta_u):
+    def primal(x_init, cost_in, dyn_in, u_init, lb, ub, uz, delta_u,
+               cost_small):
         cost_obj = _build_cost(quad, cost_fn, cost_in)
         dyn_obj, p = _build_dyn(lin, dyn_static, dyn_in)
         out = ilqr_loop(
@@ -122,6 +129,8 @@ def solve_with_grad(
             u_upper=ub,
             u_zero_I=uz,
             delta_u=delta_u,
+            cost_small=cost_small,
+            u_init_zero=u_init_zero,
         )
         return (out.x, out.u, out.costs, out.full_du_norm, out.n_iter)
 
@@ -129,7 +138,7 @@ def solve_with_grad(
         if cfg.backward_mode is BackwardMode.UNROLL and not cfg.unroll:
             raise ValueError("BackwardMode.UNROLL requires cfg.unroll=True")
         x, u, costs, du, n_iter = primal(
-            x_init, cost_in, dyn_in, u_init, lb, ub, uz, delta_u
+            x_init, cost_in, dyn_in, u_init, lb, ub, uz, delta_u, cost_small
         )
         if not cfg.backprop:
             x, u = jax.lax.stop_gradient((x, u))
@@ -141,18 +150,23 @@ def solve_with_grad(
         return x, u, costs, du, n_iter
 
     @jax.custom_vjp
-    def solve_cv(x_init, cost_in, dyn_in, u_init, lb, ub, uz, delta_u):
-        return primal(x_init, cost_in, dyn_in, u_init, lb, ub, uz, delta_u)
+    def solve_cv(x_init, cost_in, dyn_in, u_init, lb, ub, uz, delta_u,
+                 cost_small):
+        return primal(x_init, cost_in, dyn_in, u_init, lb, ub, uz, delta_u,
+                      cost_small)
 
-    def fwd(x_init, cost_in, dyn_in, u_init, lb, ub, uz, delta_u):
-        out = primal(x_init, cost_in, dyn_in, u_init, lb, ub, uz, delta_u)
+    def fwd(x_init, cost_in, dyn_in, u_init, lb, ub, uz, delta_u,
+            cost_small):
+        out = primal(x_init, cost_in, dyn_in, u_init, lb, ub, uz, delta_u,
+                     cost_small)
         x, u, costs, du, n_iter = out
-        res = (x, u, du, cost_in, dyn_in, (u_init, lb, ub, uz, delta_u))
+        res = (x, u, du, cost_in, dyn_in,
+               (u_init, lb, ub, uz, delta_u, cost_small))
         return out, res
 
     def bwd(res, g):
         x, u, du_norm, cost_in, dyn_in, nondiff = res
-        u_init, lb, ub, uz, delta_u = nondiff
+        u_init, lb, ub, uz, delta_u, cost_small = nondiff
         g_x, g_u = g[0], g[1]
 
         if cfg.detach_unconverged:
@@ -235,7 +249,10 @@ def solve_with_grad(
             zeros(ub),
             zeros(uz),
             zeros(delta_u),
+            zeros(cost_small),
         )
 
     solve_cv.defvjp(fwd, bwd)
-    return solve_cv(x_init, cost_in, dyn_in, u_init, lb, ub, uz, delta_u)
+    return solve_cv(
+        x_init, cost_in, dyn_in, u_init, lb, ub, uz, delta_u, cost_small
+    )

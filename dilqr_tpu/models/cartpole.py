@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils.kernel_math import atan2
 from .base import Dynamics
 
 DT = 0.05
@@ -21,7 +22,11 @@ CTRL_PENALTY = 1e-3
 
 
 def _step(state, u, params, clamp_u: bool):
-    params = jnp.asarray(params, state.dtype)  # dtype follows the state
+    if not isinstance(params, (tuple, list)):
+        # dtype follows the state; a tuple/list of already-traced scalars
+        # (the Pallas in-kernel path, which cannot form small 1-D vectors)
+        # unpacks directly below
+        params = jnp.asarray(params, state.dtype)
     gravity, masscart, masspole, length = params
     total_mass = masspole + masscart
     polemass_length = masspole * length
@@ -31,7 +36,7 @@ def _step(state, u, params, clamp_u: bool):
         uu = jnp.clip(uu, -FORCE_MAG, FORCE_MAG)
 
     x, dx, cos_th, sin_th, dth = state
-    th = jnp.arctan2(sin_th, cos_th)
+    th = atan2(sin_th, cos_th)
 
     cart_in = (uu + polemass_length * dth**2 * sin_th) / total_mass
     th_acc = (gravity * sin_th - cos_th * cart_in) / (

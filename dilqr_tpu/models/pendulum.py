@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils.kernel_math import atan2
 from .base import Dynamics
 
 DT = 0.05
@@ -28,7 +29,10 @@ CTRL_PENALTY = 1e-3
 
 
 def _step(x, u, params, clamp_u: bool, simple: bool):
-    params = jnp.asarray(params, x.dtype)  # dtype follows the state
+    if not isinstance(params, (tuple, list)):
+        # dtype follows the state; tuple/list of traced scalars (the Pallas
+        # in-kernel path) unpacks directly below
+        params = jnp.asarray(params, x.dtype)
     if simple:
         g, m, l = params
     else:
@@ -37,7 +41,7 @@ def _step(x, u, params, clamp_u: bool, simple: bool):
     if clamp_u:
         uu = jnp.clip(uu, -MAX_TORQUE, MAX_TORQUE)
     cos_th, sin_th, dth = x
-    th = jnp.arctan2(sin_th, cos_th)
+    th = atan2(sin_th, cos_th)
     if simple:
         newdth = dth + DT * (-3.0 * g / (2.0 * l) * (-sin_th) + 3.0 * uu / (m * l**2))
     else:

@@ -2,6 +2,7 @@
 against the pure-XLA lax.scan path, run in interpret mode on CPU. On-device
 (TPU) agreement was additionally measured at <= 4e-7 max err on the
 flagship shapes (T=20, B=4096, cartpole)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -32,6 +33,94 @@ def test_pallas_riccati_matches_xla(boxed, shape):
     pal = lqr_backward(nx, 1, C, c, F, None, u, backend="pallas", **kw)
     np.testing.assert_allclose(np.asarray(pal.K), np.asarray(ref.K), atol=2e-6)
     np.testing.assert_allclose(np.asarray(pal.k), np.asarray(ref.k), atol=2e-6)
+
+
+@pytest.mark.parametrize("env_name", ["pendulum", "cartpole"])
+@pytest.mark.parametrize("boxed", [False, True])
+def test_fused_whole_solve_matches_xla(env_name, boxed):
+    """Whole-solve megakernel (ops/pallas/ilqr_fused.py) vs the lax.scan
+    path, interpret mode. f32 tolerances: the iLQR iteration amplifies
+    rounding ~100x over iterations (see test_mpc_golden.py docstring); cost
+    agreement is the tight check. On the real chip the same comparison gave
+    u err <= 1e-2 with cost err <= 3e-5 at B=512->1024 padding."""
+    import dataclasses
+
+    from dilqr_tpu.core.solver import solve
+    from dilqr_tpu.models import cartpole, pendulum
+    from dilqr_tpu.types import ILQRConfig, QuadCost
+
+    env_mod = {"pendulum": pendulum, "cartpole": cartpole}[env_name]
+    dyn = env_mod.make()
+    params = env_mod.default_params()
+    q, p = env_mod.get_true_obj()
+    nx = dyn.n_state
+    B, T = 6, 8
+    rng = np.random.RandomState(0)
+    th = rng.uniform(-2, 2, B).astype(np.float32)
+    if env_name == "pendulum":
+        x_init = jnp.stack(
+            [jnp.cos(jnp.asarray(th)), jnp.sin(jnp.asarray(th)), jnp.zeros(B)], 1
+        )
+    else:
+        x_init = jnp.stack(
+            [jnp.zeros(B), jnp.zeros(B), jnp.cos(jnp.asarray(th)),
+             jnp.sin(jnp.asarray(th)), jnp.zeros(B)], 1
+        )
+    cfg = ILQRConfig(
+        n_state=nx, n_ctrl=1, T=T, lqr_iter=6, eps=0.0,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    kw = dict(u_lower=dyn.lower, u_upper=dyn.upper) if boxed else {}
+    args = (x_init, QuadCost(jnp.diag(q), p), dyn)
+    r_x = solve(dataclasses.replace(cfg, backend="xla"), *args, params=params, **kw)
+    r_p = solve(dataclasses.replace(cfg, backend="pallas"), *args, params=params, **kw)
+    np.testing.assert_allclose(np.asarray(r_p.u), np.asarray(r_x.u), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(r_p.x), np.asarray(r_x.x), atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(r_p.costs), np.asarray(r_x.costs), atol=1e-5, rtol=1e-5
+    )
+    assert int(r_p.n_iter) == int(r_x.n_iter)
+
+
+def test_fused_whole_solve_warm_start_and_per_time_cost():
+    """Exercise the non-default megakernel paths: warm-started u_init and a
+    per-timestep [T,n,n] cost (smem per_t mode)."""
+    import dataclasses
+
+    from dilqr_tpu.core.solver import solve
+    from dilqr_tpu.models import pendulum
+    from dilqr_tpu.types import ILQRConfig, QuadCost
+
+    dyn = pendulum.make()
+    params = pendulum.default_params()
+    q, p = pendulum.get_true_obj()
+    B, T = 4, 6
+    rng = np.random.RandomState(1)
+    th = rng.uniform(-2, 2, B).astype(np.float32)
+    x_init = jnp.stack(
+        [jnp.cos(jnp.asarray(th)), jnp.sin(jnp.asarray(th)), jnp.zeros(B)], 1
+    )
+    # time-varying diagonal cost + warm start
+    scale = jnp.linspace(0.5, 2.0, T)[:, None]
+    C_t = jax.vmap(jnp.diag)(scale * q[None, :])
+    p_t = jnp.broadcast_to(p, (T, 4))
+    u0 = jnp.asarray(0.1 * rng.randn(B, T, 1), jnp.float32)
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=4, eps=0.0,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    kw = dict(u_lower=dyn.lower, u_upper=dyn.upper, u_init=u0)
+    args = (x_init, QuadCost(C_t, p_t), dyn)
+    r_x = solve(dataclasses.replace(cfg, backend="xla"), *args, params=params, **kw)
+    r_p = solve(dataclasses.replace(cfg, backend="pallas"), *args, params=params, **kw)
+    np.testing.assert_allclose(np.asarray(r_p.u), np.asarray(r_x.u), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(r_p.costs), np.asarray(r_x.costs), atol=1e-5, rtol=1e-5
+    )
 
 
 def test_pallas_riccati_delta_u():
