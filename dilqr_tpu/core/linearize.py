@@ -101,6 +101,30 @@ def linearize_dynamics(
         jac = _point_jacobian(lin_f, method, fd_eps)
 
     R, S = jax.vmap(lambda xi, ui: jac(xi, ui, params))(xf, uf)
+
+    if method is GradMethod.ANALYTIC_CHECK:
+        # functional version of the reference's (stale, assert-False)
+        # analytic-vs-numeric comparison (mpc.py:552-567): warn from the
+        # host when the analytic Jacobian disagrees with central
+        # differences beyond the reference's 1e-8 print threshold scaled
+        # to the fd step.
+        fd = _point_jacobian(lin_f, GradMethod.FINITE_DIFF, fd_eps)
+        Rn, Sn = jax.vmap(lambda xi, ui: fd(xi, ui, params))(xf, uf)
+        err = jnp.maximum(
+            jnp.abs(R - Rn).max(), jnp.abs(S - Sn).max()
+        )
+
+        def _warn(e):
+            if e > 1e-2 * fd_eps ** 0.5:
+                import warnings
+
+                warnings.warn(
+                    f"ANALYTIC_CHECK: analytic vs finite-difference "
+                    f"Jacobian max err {float(e):.3e}"
+                )
+
+        jax.debug.callback(_warn, err)
+
     new_x = jax.vmap(lambda xi, ui: step_fn(xi, ui, params))(xf, uf)
     f = new_x - bmv(R, xf) - bmv(S, uf)
 

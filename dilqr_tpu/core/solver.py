@@ -134,27 +134,9 @@ def augment_slew_rate(
             "construct the augmented LinDx directly."
         )
 
-    base_step = dyn.step
-    base_lin = dyn.linearize_point
+    from ..models import ctrl_passthrough
 
-    def aug(fn):
-        def stepped(xa, u, p):
-            x = xa[nu:]
-            return jnp.concatenate([u, fn(x, u, p)])
-
-        return stepped
-
-    aug_dyn = Dynamics(
-        n_state=nu + nx,
-        n_ctrl=nu,
-        step=aug(base_step),
-        step_unclamped=aug(base_lin) if dyn.step_unclamped is not None else None,
-        lower=dyn.lower,
-        upper=dyn.upper,
-        mpc_eps=dyn.mpc_eps,
-        linesearch_decay=dyn.linesearch_decay,
-        max_linesearch_iter=dyn.max_linesearch_iter,
-    )
+    aug_dyn = ctrl_passthrough.make(dyn)
 
     if prev_ctrl is None:
         prev_u0 = jnp.zeros((B, nu), dtype)
