@@ -96,7 +96,9 @@ def lqr_step(
         pnqp_iter=cfg.pnqp_iter,
         unroll=cfg.unroll,
         qp_solver=cfg.qp_solver,
-        backend=cfg.backend,
+        # Pallas kernels have no autodiff rules; the unrolled-autodiff
+        # oracle must stay on the pure-XLA path
+        backend="xla" if cfg.unroll else cfg.backend,
     )
     dyn_roll = dyn if isinstance(dyn, LinDx) else (dyn.step, params)
     new_x, new_u, out = lqr_forward(
