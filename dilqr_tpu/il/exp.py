@@ -203,7 +203,10 @@ class ILExp:
                 + "\n"
             )
 
-        step_fn = jax.jit(self.train_step) if self.mode == "nn" else self.train_step
+        # jit for all modes: the MPC modes (differentiable solve + IFT/KKT
+        # backward + optimizer) compile to one program -- measured 5 ms vs
+        # 141 s eager per step on the tunneled TPU (B=32 pendulum)
+        step_fn = jax.jit(self.train_step)
         best_val = None
         update_q = False
         n_train_batch = max(1, n // self.n_batch)
@@ -284,14 +287,20 @@ class ILExp:
             pred_u = self.lstm.apply(self.params["nn"], xinits)
             new_ws = warmstart
         else:
-            q, p = self._cost_qp(self.params)
-            _, pred_u = self.env.mpc(
-                self._dx_params(self.params),
-                xinits,
-                q,
-                p,
-                u_init=warmstart,
-                backprop=False,
-            )
+            if not hasattr(self, "_eval_fn"):
+
+                def _eval(params, xinits, warmstart):
+                    q, p = self._cost_qp(params)
+                    return self.env.mpc(
+                        self._dx_params(params),
+                        xinits,
+                        q,
+                        p,
+                        u_init=warmstart,
+                        backprop=False,
+                    )[1]
+
+                self._eval_fn = jax.jit(_eval)
+            pred_u = self._eval_fn(self.params, xinits, warmstart)
             new_ws = pred_u
         return float(jnp.mean((us - pred_u) ** 2)), new_ws
