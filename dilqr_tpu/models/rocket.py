@@ -48,59 +48,72 @@ LOWER = jnp.array([-20.0, -20.0, -20.0], jnp.float32)
 UPPER = jnp.array([20.0, 20.0, 20.0], jnp.float32)
 
 
-def _dcm_body_to_inertial(q):
-    """C_I_B = C_B_I^T with C_B_I as in rocket.py:116-121."""
-    q0, q1, q2, q3 = q
-    C_B_I = jnp.array(
-        [
-            [1 - 2 * (q2**2 + q3**2), 2 * (q1 * q2 + q0 * q3), 2 * (q1 * q3 - q0 * q2)],
-            [2 * (q1 * q2 - q0 * q3), 1 - 2 * (q1**2 + q3**2), 2 * (q2 * q3 + q0 * q1)],
-            [2 * (q1 * q3 + q0 * q2), 2 * (q2 * q3 - q0 * q1), 1 - 2 * (q1**2 + q2**2)],
-        ]
-    )
-    return C_B_I.T
+def _dcm_body_to_inertial_rows(q0, q1, q2, q3):
+    """Rows of C_I_B = C_B_I^T with C_B_I as in rocket.py:116-121.
 
-
-def _omega(w):
-    """Quaternion-rate matrix (rocket.py:135-143)."""
-    w0, w1, w2 = w
-    z = jnp.zeros((), w.dtype)
-    return jnp.array(
-        [
-            [z, -w0, -w1, -w2],
-            [w0, z, w2, -w1],
-            [w1, -w2, z, w0],
-            [w2, w1, -w0, z],
-        ]
-    )
+    Written entrywise (no jnp.array matrix construction) so the step
+    broadcasts over arbitrary trailing batch dims -- required by the fused
+    Pallas kernel's batch-on-lanes layout."""
+    c = [
+        [1 - 2 * (q2**2 + q3**2), 2 * (q1 * q2 + q0 * q3), 2 * (q1 * q3 - q0 * q2)],
+        [2 * (q1 * q2 - q0 * q3), 1 - 2 * (q1**2 + q3**2), 2 * (q2 * q3 + q0 * q1)],
+        [2 * (q1 * q3 + q0 * q2), 2 * (q2 * q3 - q0 * q1), 1 - 2 * (q1**2 + q2**2)],
+    ]
+    # transpose
+    return [[c[j][i] for j in range(3)] for i in range(3)]
 
 
 def _step(x, u, params, clamp_u: bool, normalize_quat: bool):
-    params = jnp.asarray(params, x.dtype)  # dtype follows the state
+    if not isinstance(params, (tuple, list)):
+        # dtype follows the state; tuple/list of traced scalars (the Pallas
+        # in-kernel path) unpacks directly below
+        params = jnp.asarray(params, x.dtype)
     Jx, Jy, Jz, mass, l = params
-    Jdiag = jnp.array([Jx, Jy, Jz])
 
-    v = x[3:6]
-    q = x[6:10]
-    w = x[10:13]
+    v0, v1, v2 = x[3], x[4], x[5]
+    q0, q1, q2, q3 = x[6], x[7], x[8], x[9]
+    w0, w1, w2 = x[10], x[11], x[12]
 
-    T_B = jnp.clip(u, -MAX_THRUST, MAX_THRUST) if clamp_u else u
+    if clamp_u:
+        T_B = [jnp.clip(u[i], -MAX_THRUST, MAX_THRUST) for i in range(3)]
+    else:
+        T_B = [u[0], u[1], u[2]]
 
-    C_I_B = _dcm_body_to_inertial(q)
-    g = jnp.array([-10.0, 0.0, 0.0], x.dtype)
+    C = _dcm_body_to_inertial_rows(q0, q1, q2, q3)
+    g = (-10.0, 0.0, 0.0)
 
-    dr = v
-    dv = C_I_B @ T_B / mass + g
-    dq = 0.5 * (_omega(w) @ q)
+    # dv = C_I_B T_B / mass + g   (rocket.py:125-133)
+    dv = [
+        (C[i][0] * T_B[0] + C[i][1] * T_B[1] + C[i][2] * T_B[2]) / mass + g[i]
+        for i in range(3)
+    ]
+    # dq = 0.5 Omega(w) q   (rocket.py:135-144)
+    dq0 = 0.5 * (-w0 * q1 - w1 * q2 - w2 * q3)
+    dq1 = 0.5 * (w0 * q0 + w2 * q2 - w1 * q3)
+    dq2 = 0.5 * (w1 * q0 - w2 * q1 + w0 * q3)
+    dq3 = 0.5 * (w2 * q0 + w1 * q1 - w0 * q2)
 
-    r_T_B = jnp.array([-0.5, 0.0, 0.0], x.dtype) * l
-    torque = jnp.cross(r_T_B, T_B)
-    dw = (torque - jnp.cross(w, Jdiag * w)) / Jdiag
+    # torque = r_T_B x T_B with r_T_B = (-l/2, 0, 0)  (rocket.py:147-148)
+    a = -0.5 * l
+    tq0 = 0.0
+    tq1 = -a * T_B[2]
+    tq2 = a * T_B[1]
+    # w x (J w)   (rocket.py:149-152)
+    cw0 = w1 * (Jz * w2) - w2 * (Jy * w1)
+    cw1 = w2 * (Jx * w0) - w0 * (Jz * w2)
+    cw2 = w0 * (Jy * w1) - w1 * (Jx * w0)
+    dw0 = (tq0 - cw0) / Jx
+    dw1 = (tq1 - cw1) / Jy
+    dw2 = (tq2 - cw2) / Jz
 
-    new_x = x + jnp.concatenate([dr, dv, dq, dw]) * DT
+    dx = jnp.stack(
+        [v0, v1, v2, dv[0], dv[1], dv[2], dq0, dq1, dq2, dq3, dw0, dw1, dw2]
+    )
+    new_x = x + dx * DT
     if normalize_quat:
         nq = new_x[6:10]
-        new_x = new_x.at[6:10].set(nq / (jnp.linalg.norm(nq) + 1e-8))
+        nrm = jnp.sqrt((nq * nq).sum(0)) + 1e-8
+        new_x = jnp.concatenate([new_x[:6], nq / nrm, new_x[10:]], axis=0)
     return new_x
 
 

@@ -2,8 +2,13 @@
 (reference MPC.forward outer loop, mpc.py:248-301, plus every subroutine it
 calls) as ONE kernel invocation per 1024-example batch tile.
 
-Covers the hot configuration: n_ctrl == 1, QuadCost, callable Dynamics,
-box bounds (or none -- encoded as +-inf), f32, closed-form 1-D box-QP.
+Covers n_ctrl in {1, 2, 3} (pendulum/cartpole swing-up and the 13-state
+rocket), QuadCost, callable Dynamics, box bounds (or none -- encoded as
++-inf), f32. Gains come from the exact closed-form 1-D box-QP when
+n_ctrl == 1 and from an in-kernel projected-Newton pnqp (reference
+pnqp.py:5-82 semantics: clamped active set, masked Hessian + 1e-11 ridge,
+per-example Armijo with GAMMA=0.1/decay 0.1/<=10 trials, warm start from
+the next timestep's k) with Cramer/adjugate solves otherwise.
 
 Per grid cell (batch-on-lanes layout, see ops/pallas/__init__.py):
 
@@ -13,9 +18,9 @@ Per grid cell (batch-on-lanes layout, see ops/pallas/__init__.py):
     2. linearization F_t = [dx'/dx | dx'/du] via jax.linearize of the env
        step at each point -- exact analytic Jacobians traced INTO the
        kernel (replaces the reference's hand-derived env_dx tensors,
-       pendulum.py:127-515 etc.)
+       pendulum.py:127-515, cartpole.py:99-839, rocket.py:324-823)
     3. delta-space cost shift c_back = C tau + c (lqr_step.py:284-295)
-    4. backward Riccati recursion with closed-form QP (lqr_step.py:52-160)
+    4. backward Riccati recursion (lqr_step.py:52-160)
     5. batched backtracking line search (lqr_step.py:164-261)
     6. per-example best-so-far tracking + stopping rule (mpc.py:266-301)
 
@@ -51,13 +56,38 @@ from ...types import GradMethod, ILQRConfig, QuadCost
 from ...utils.kernel_math import kernel_context
 from .riccati_fused import BT, _from_lanes, _pad_batch, _to_lanes
 
+MAX_NU = 3
+
+# pnqp constants (reference pnqp.py:8,33-37)
+PNQP_REG = 1e-11
+PNQP_GAMMA = 0.1
+PNQP_DECAY = 0.1
+PNQP_CONV = 1e-4
+PNQP_ARMIJO_ITER = 10
+
+
+def _scratch_bytes(cfg: ILQRConfig) -> int:
+    """Approximate per-tile VMEM scratch footprint (f32 lanes tiles).
+    F_t and c_back are recomputed at their use site inside the Riccati
+    step, so the scratch holds only the trajectory, gains, and trackers."""
+    T, nx, nu = cfg.T, cfg.n_state, cfg.n_ctrl
+    per_t = 3 * nu + 2 * nx + nu * nx  # u,k,nut + x,nxt + K
+    tiles = T * per_t + nx * nx + nx + 1
+    return tiles * BT * 4
+
+
+# conservative cap: live temporaries (Q, V, Jacobian probes), the
+# double-buffered in/out blocks, and the Mosaic stack share the ~16 MB of
+# VMEM with the scratch
+VMEM_SCRATCH_LIMIT = 7 * 1024 * 1024
+
 
 def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
                     dtype) -> bool:
     return (
         isinstance(cost, QuadCost)
         and isinstance(dyn, Dynamics)
-        and cfg.n_ctrl == 1
+        and 1 <= cfg.n_ctrl <= MAX_NU
         and u_zero_I is None
         and delta_u is None
         and cfg.qp_solver == "auto"
@@ -67,20 +97,138 @@ def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
         and dtype == jnp.float32
         and params is not None
         and getattr(jnp.asarray(params), "ndim", None) == 1
+        and _scratch_bytes(cfg) <= VMEM_SCRATCH_LIMIT
     )
+
+
+# ---------------------------------------------------------------------------
+# small-matrix solves on lanes: A [m,m,8,128] (SPD), b [m,...,8,128]
+# ---------------------------------------------------------------------------
+
+
+def _inv_lanes(A, m):
+    """Explicit inverse entries of a (regularized SPD) m x m lane matrix,
+    m <= 3, via reciprocal / Cramer / adjugate."""
+    if m == 1:
+        return (1.0 / A[0, 0])[None, None]
+    if m == 2:
+        det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        r = 1.0 / det
+        return jnp.stack([
+            jnp.stack([A[1, 1] * r, -A[0, 1] * r]),
+            jnp.stack([-A[1, 0] * r, A[0, 0] * r]),
+        ])
+    # m == 3: adjugate / det
+    c00 = A[1, 1] * A[2, 2] - A[1, 2] * A[2, 1]
+    c01 = A[1, 2] * A[2, 0] - A[1, 0] * A[2, 2]
+    c02 = A[1, 0] * A[2, 1] - A[1, 1] * A[2, 0]
+    det = A[0, 0] * c00 + A[0, 1] * c01 + A[0, 2] * c02
+    r = 1.0 / det
+    c10 = A[0, 2] * A[2, 1] - A[0, 1] * A[2, 2]
+    c11 = A[0, 0] * A[2, 2] - A[0, 2] * A[2, 0]
+    c12 = A[0, 1] * A[2, 0] - A[0, 0] * A[2, 1]
+    c20 = A[0, 1] * A[1, 2] - A[0, 2] * A[1, 1]
+    c21 = A[0, 2] * A[1, 0] - A[0, 0] * A[1, 2]
+    c22 = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+    return jnp.stack([
+        jnp.stack([c00 * r, c10 * r, c20 * r]),
+        jnp.stack([c01 * r, c11 * r, c21 * r]),
+        jnp.stack([c02 * r, c12 * r, c22 * r]),
+    ])
+
+
+def _mv(A, b):
+    """A [m,k,8,128] @ b [k,8,128] -> [m,8,128]."""
+    return (A * b[None]).sum(1)
+
+
+def _mm(A, B):
+    """A [m,k,8,128] @ B [k,p,8,128] -> [m,p,8,128]."""
+    return (A[:, :, None] * B[None]).sum(1)
+
+
+def _pnqp_lanes(H, q, lb, ub, x0, n_iter, nu):
+    """In-kernel batched projected-Newton box-QP on lanes (reference
+    pnqp.py:5-82; mirrors ops/pnqp.py's masked fixed-shape iteration).
+
+    H [nu,nu,8,128], q/lb/ub/x0 [nu,8,128]. Returns (x, If, H_free)."""
+    eye = jnp.stack(
+        [jnp.stack([jnp.full((8, 128), 1.0 if i == j else 0.0, jnp.float32)
+                    for j in range(nu)]) for i in range(nu)]
+    )
+
+    def obj(x):
+        return 0.5 * (x * _mv(H, x)).sum(0) + (q * x).sum(0)
+
+    x = jnp.clip(x0, lb, ub)
+
+    def newton(x):
+        g = _mv(H, x) + q
+        Ic = ((x <= lb) & (g > 0.0)) | ((x >= ub) & (g < 0.0))
+        If = jnp.where(Ic, 0.0, 1.0)
+        g_free = g * If
+        H_free = H * If[:, None] * If[None] + PNQP_REG * eye
+        dx = -_mv(_inv_lanes(H_free, nu), g_free)
+        return g, If, H_free, dx
+
+    def armijo(x, g, dx, J):
+        """Per-lane backtracking (pnqp.py:61-77). J: lanes still stepping;
+        inactive lanes carry the GAMMA+1e-6 sentinel (reference quirk)."""
+        sentinel = jnp.full((8, 128), PNQP_GAMMA + 1e-6, jnp.float32)
+        ox = obj(x)
+
+        def trial(alpha):
+            mx = jnp.clip(x + alpha[None] * dx, lb, ub)
+            num = ox - obj(mx)
+            den = (g * (x - mx)).sum(0)
+            arm = jnp.where(J, num / den, sentinel)
+            return mx, arm
+
+        def body(i, carry):
+            alpha, mx, max_arm = carry
+            active = max_arm <= PNQP_GAMMA
+            nmx, arm = trial(alpha)
+            mx = jnp.where(active, nmx, mx)
+            nalpha = jnp.where(arm <= PNQP_GAMMA, alpha * PNQP_DECAY, alpha)
+            alpha = jnp.where(active, nalpha, alpha)
+            max_arm = jnp.where(active, jnp.max(arm), max_arm)
+            return alpha, mx, max_arm
+
+        a0 = jnp.ones((8, 128), jnp.float32)
+        _, mx, _ = lax.fori_loop(
+            0, PNQP_ARMIJO_ITER, body,
+            (a0, x, jnp.full((), PNQP_GAMMA, jnp.float32)),
+        )
+        return mx
+
+    def outer(i, carry):
+        x, If_prev, Hf_prev, done = carry
+        g, If, H_free, dx = newton(x)
+        If = jnp.where(done, If_prev, If)
+        H_free = jnp.where(done, Hf_prev, H_free)
+        J = jnp.sqrt((dx * dx).sum(0)) >= PNQP_CONV
+        new_done = done | ~jnp.any(J)
+        new_x = armijo(x, g, dx, J)
+        x = jnp.where(new_done, x, new_x)
+        return x, If, H_free, new_done
+
+    g0, If0, Hf0, _ = newton(x)
+    x, If, H_free, _ = lax.fori_loop(
+        0, n_iter, outer, (x, If0, Hf0, jnp.full((), False))
+    )
+    return x, If, H_free
 
 
 def _ilqr_kernel(
     # statics bound via partial:
-    T, nx, n_params, lqr_iter, eps, ls_decay, max_ls_iter, best_cost_eps,
-    not_improved_lim, step_fn, lin_fn, cost_mode, u0_zero,
+    T, nx, nu, n_params, lqr_iter, pnqp_iter, eps, ls_decay, max_ls_iter,
+    best_cost_eps, not_improved_lim, step_fn, lin_fn, cost_mode, u0_zero,
     *refs,
 ):
-    """cost_mode: "lanes" (C_ref/c_ref are per-example lane tensors) or
-    "smem" (Cs_ref (Tc, n*n) / cs_ref (Tc, n) SMEM scalars, Tc in {1, T}).
-    u0_zero: warm start is zeros -> no u0 input ref.
-    """
-    n = nx + 1
+    """cost_mode: "lanes" (C_ref/c_ref per-example lane tensors) or "smem"
+    (Cs_ref (Tc, n*n) / cs_ref (Tc, n) SMEM scalars, Tc in {1, T}).
+    u0_zero: warm start is zeros -> no u0 input ref."""
+    n = nx + nu
     f32 = jnp.float32
 
     it_r = iter(refs)
@@ -102,8 +250,6 @@ def _ilqr_kernel(
     it_ref = next(it_r)
     u_ref = next(it_r)
     x_ref = next(it_r)
-    F_ref = next(it_r)
-    cb_ref = next(it_r)
     K_ref = next(it_r)
     k_ref = next(it_r)
     V_ref = next(it_r)
@@ -114,12 +260,26 @@ def _ilqr_kernel(
     flags_ref = next(it_r)
 
     if cost_mode == "lanes":
-        Cat = lambda t, i, j: C_ref[t, i, j]
-        cat = lambda t, i: c_ref[t, i]
+        Cmat = lambda t: C_ref[t]                     # [n,n,8,128]
+        cvec = lambda t: c_ref[t]                     # [n,8,128]
     else:
         per_t = Cs_ref.shape[0] > 1
-        Cat = lambda t, i, j: Cs_ref[t if per_t else 0, i * n + j]
-        cat = lambda t, i: cs_ref[t if per_t else 0, i]
+
+        def Cmat(t):
+            ti = t if per_t else 0
+            return jnp.stack([
+                jnp.stack([
+                    jnp.broadcast_to(Cs_ref[ti, i * n + j], (8, 128))
+                    for j in range(n)
+                ])
+                for i in range(n)
+            ])
+
+        def cvec(t):
+            ti = t if per_t else 0
+            return jnp.stack([
+                jnp.broadcast_to(cs_ref[ti, i], (8, 128)) for i in range(n)
+            ])
 
     params = [params_ref[0, i] for i in range(n_params)]
     x_init = xi_ref[...]
@@ -128,7 +288,6 @@ def _ilqr_kernel(
         u_ref[...] = jnp.zeros(u_ref.shape, f32)
     else:
         u_ref[...] = u0_ref[...]
-    F_ref[...] = jnp.zeros(F_ref.shape, f32)
     bc_ref[...] = jnp.full((8, 128), jnp.inf, f32)
     bdu_ref[...] = jnp.full((8, 128), jnp.inf, f32)
     bx_ref[...] = jnp.zeros(bx_ref.shape, f32)
@@ -141,153 +300,135 @@ def _ilqr_kernel(
     lin_step = lambda x, u: lin_fn(x, u, params)   # linearization point
 
     def obj_t(t, xt, ut):
-        """0.5 tau^T C_t tau + c_t^T tau, tau = (xt, ut). [8,128]."""
-        tau = [xt[i] for i in range(nx)] + [ut]
-        acc = None
-        for i in range(n):
-            row = cat(t, i)
-            for j in range(n):
-                row = row + 0.5 * Cat(t, i, j) * tau[j]
-            term = tau[i] * row
-            acc = term if acc is None else acc + term
-        return acc
+        tau = jnp.concatenate([xt, ut], axis=0)    # [n,8,128]
+        Ct = Cmat(t)
+        return 0.5 * (tau * _mv(Ct, tau)).sum(0) + (cvec(t) * tau).sum(0)
 
     def outer_body(it, _):
         @pl.when(flags_ref[0] == 0)
         def _():
-            # ---- 1) open-loop rollout + objective (util.py:104-153) ----
+            # ---- 1) open-loop rollout + objective ----
             def roll(t, carry):
                 xt, cost = carry
                 x_ref[t] = xt
                 ut = u_ref[t]
                 cost = cost + obj_t(t, xt, ut)
-                xn = step(xt, ut[None])
-                return xn, cost
+                return step(xt, ut), cost
 
             _, old_cost = lax.fori_loop(
                 0, T, roll, (x_init, jnp.zeros((8, 128), f32))
             )
 
-            # ---- 2+3) linearize + delta-space shift (mpc.py:489-543,
-            # lqr_step.py:284-295). One jax.linearize per timestep; n
-            # tangent probes build F_t exactly. ----
+            # ---- 2+3+4) backward Riccati (lqr_step.py:52-160) with the
+            # linearization F_t = jax.linearize(step) and the delta-space
+            # shift c_back = C tau + c (mpc.py:489-543, lqr_step.py:284-295)
+            # computed AT THE USE SITE -- no [T, nx, n] Jacobian buffer ----
             def basis(size, hot):
-                return jnp.stack(
-                    [
-                        jnp.full((8, 128), 1.0 if a == hot else 0.0, f32)
-                        for a in range(size)
-                    ]
-                )
+                return jnp.stack([
+                    jnp.full((8, 128), 1.0 if a == hot else 0.0, f32)
+                    for a in range(size)
+                ])
 
-            def lin_body(t, _c):
-                xt = x_ref[t]
-                ut = u_ref[t]
-                _, jvp = jax.linearize(lin_step, xt, ut[None])
-                for j in range(n):
-                    if j < nx:
-                        tj = jvp(basis(nx, j), basis(1, -1))
-                    else:
-                        tj = jvp(basis(nx, -1), basis(1, 0))
-                    for a in range(nx):
-                        F_ref[t, a, j] = tj[a]
-                return 0
-
-            lax.fori_loop(0, T - 1, lin_body, 0)
-
-            def cb_body(t, _c):
-                xt = x_ref[t]
-                ut = u_ref[t]
-                tau = [xt[i] for i in range(nx)] + [ut]
-                for i in range(n):
-                    acc = cat(t, i) + Cat(t, i, 0) * tau[0]
-                    for j in range(1, n):
-                        acc = acc + Cat(t, i, j) * tau[j]
-                    cb_ref[t, i] = acc
-                return 0
-
-            lax.fori_loop(0, T, cb_body, 0)
-
-            # ---- 4) backward Riccati with closed-form 1-D box-QP
-            # (lqr_step.py:52-160; see riccati_fused.py) ----
             V_ref[...] = jnp.zeros(V_ref.shape, f32)
             v_ref[...] = jnp.zeros(v_ref.shape, f32)
 
             def ric_body(i, _c):
                 t = T - 1 - i
-                V = [[V_ref[a, b] for b in range(nx)] for a in range(nx)]
-                v = [v_ref[a] for a in range(nx)]
-                Ft = F_ref[t]
-                F = [[Ft[a, j] for j in range(n)] for a in range(nx)]
-                tmp = [
-                    [
-                        functools.reduce(
-                            lambda acc, b: acc + V[a][b] * F[b][j],
-                            range(1, nx),
-                            V[a][0] * F[0][j],
-                        )
-                        for j in range(n)
-                    ]
-                    for a in range(nx)
-                ]
-                Q = [[None] * n for _ in range(n)]
-                for i_ in range(n):
-                    for j in range(i_, n):
-                        acc = Cat(t, i_, j) + F[0][i_] * tmp[0][j]
-                        for a in range(1, nx):
-                            acc = acc + F[a][i_] * tmp[a][j]
-                        Q[i_][j] = acc
-                        Q[j][i_] = acc
-                q = []
-                for i_ in range(n):
-                    acc = cb_ref[t, i_]
-                    for a in range(nx):
-                        acc = acc + F[a][i_] * v[a]
-                    q.append(acc)
+                V = V_ref[...]           # [nx,nx,8,128]
+                v = v_ref[...]           # [nx,8,128]
+                xt = x_ref[t]
+                ut = u_ref[t]
 
-                Quu = Q[nx][nx]
-                qu = q[nx]
+                # F_t (zero slab at t = T-1: V_T = 0 makes it inert)
+                def lin_at(xt, ut):
+                    _, jvp = jax.linearize(lin_step, xt, ut)
+                    cols = []
+                    for j in range(n):
+                        if j < nx:
+                            cols.append(jvp(basis(nx, j), basis(nu, -1)))
+                        else:
+                            cols.append(
+                                jvp(basis(nx, -1), basis(nu, j - nx)))
+                    return jnp.stack(cols, axis=1)  # [nx,n,8,128]
+
+                F = jnp.where(t < T - 1, lin_at(xt, ut), 0.0)
+                tau = jnp.concatenate([xt, ut], axis=0)
+                cb = _mv(Cmat(t), tau) + cvec(t)
+
+                tmp = _mm(jnp.swapaxes(V, 0, 1), F)       # V^T F = V F
+                FT = jnp.swapaxes(F, 0, 1)                # [n,nx,8,128]
+                Q = Cmat(t) + _mm(FT, tmp)                # [n,n,8,128]
+                q = cb + _mv(FT, v)                       # [n,8,128]
+
+                Qxx = Q[:nx, :nx]
+                Qxu = Q[:nx, nx:]
+                Qux = Q[nx:, :nx]
+                Quu = Q[nx:, nx:]
+                qx = q[:nx]
+                qu = q[nx:]
                 lb = lb_ref[t] - u_ref[t]
                 ub = ub_ref[t] - u_ref[t]
-                kt = jnp.clip(-qu / Quu, lb, ub)
-                g = Quu * kt + qu
-                Ic = ((kt <= lb) & (g > 0.0)) | ((kt >= ub) & (g < 0.0))
-                If = jnp.where(Ic, 0.0, 1.0)
-                H_free = Quu * If + 1e-11
-                K = [-(Q[nx][j] * If) / H_free for j in range(nx)]
 
-                qu_plus = qu + Quu * kt
-                for a in range(nx):
-                    for b in range(a, nx):
-                        Vn = Q[a][b] + Q[a][nx] * K[b] + K[a] * Q[b][nx] \
-                            + Quu * K[a] * K[b]
-                        V_ref[a, b] = Vn
-                        if b != a:
-                            V_ref[b, a] = Vn
-                    v_ref[a] = q[a] + Q[a][nx] * kt + K[a] * qu_plus
-                    K_ref[t, a] = K[a]
+                if nu == 1:
+                    # exact closed-form 1-D box-QP (see ops/riccati.py)
+                    H = Quu[0, 0]
+                    kt = jnp.clip(-qu / H, lb, ub)
+                    g = H * kt[0] + qu[0]
+                    Ic = ((kt[0] <= lb[0]) & (g > 0.0)) | (
+                        (kt[0] >= ub[0]) & (g < 0.0))
+                    If = jnp.where(Ic, 0.0, 1.0)[None]
+                    H_free = (H * If[0] + PNQP_REG)[None, None]
+                else:
+                    # warm start with next timestep's k (lqr_step.py:135-137)
+                    Hinv0 = _inv_lanes(Quu + PNQP_REG * jnp.stack(
+                        [jnp.stack([jnp.full((8, 128),
+                                             1.0 if a == b else 0.0, f32)
+                                    for b in range(nu)]) for a in range(nu)]
+                    ), nu)
+                    default_init = -_mv(Hinv0, qu)
+                    # warm index clamped so the t = T-1 read stays in
+                    # bounds; the where() discards it there
+                    warm = jnp.where(
+                        t < T - 1,
+                        k_ref[jnp.minimum(t + 1, T - 1)],
+                        jnp.clip(default_init, lb, ub),
+                    )
+                    kt, If, H_free = _pnqp_lanes(
+                        Quu, qu, lb, ub, warm, pnqp_iter, nu
+                    )
+
+                # zero active rows of Q_ux before forming K
+                # (lqr_step.py:142-148)
+                Qux_m = Qux * If[:, None]
+                Hinv = _inv_lanes(H_free, nu)
+                K = -_mm(Hinv, Qux_m)                     # [nu,nx,8,128]
+
+                KT = jnp.swapaxes(K, 0, 1)                # [nx,nu,8,128]
+                Vn = Qxx + _mm(Qxu, K) + _mm(KT, Qux) + _mm(KT, _mm(Quu, K))
+                vn = qx + _mv(Qxu, kt) + _mv(KT, qu) + _mv(KT, _mv(Quu, kt))
+                V_ref[...] = Vn
+                v_ref[...] = vn
+                K_ref[t] = K
                 k_ref[t] = kt
                 return 0
 
             lax.fori_loop(0, T, ric_body, 0)
 
-            # ---- 5) batched backtracking line search
-            # (lqr_step.py:164-261) ----
+            # ---- 5) batched backtracking line search ----
             def trial(alpha, record_du):
                 def tbody(t, carry):
                     xt, cost, du2 = carry
                     dxt = xt - x_ref[t]
-                    Kt = K_ref[t]
-                    new_u = jnp.sum(Kt * dxt, axis=0) + u_ref[t] \
-                        + alpha * k_ref[t]
+                    new_u = _mv(K_ref[t], dxt) + u_ref[t] \
+                        + alpha[None] * k_ref[t]
                     new_u = jnp.clip(new_u, lb_ref[t], ub_ref[t])
                     if record_du:
                         d = u_ref[t] - new_u
-                        du2 = du2 + d * d
+                        du2 = du2 + (d * d).sum(0)
                     nxt_ref[t] = xt
                     nut_ref[t] = new_u
                     cost = cost + obj_t(t, xt, new_u)
-                    xn = step(xt, new_u[None])
-                    return xn, cost, du2
+                    return step(xt, new_u), cost, du2
 
                 z = jnp.zeros((8, 128), f32)
                 _, cost, du2 = lax.fori_loop(0, T, tbody, (x_init, z, z))
@@ -317,7 +458,7 @@ def _ilqr_kernel(
             improved = cc <= bc_ref[...] + best_cost_eps
             impx = improved[None, None]
             bx_ref[...] = jnp.where(impx, nxt_ref[...], bx_ref[...])
-            bu_ref[...] = jnp.where(improved[None], nut_ref[...], bu_ref[...])
+            bu_ref[...] = jnp.where(impx, nut_ref[...], bu_ref[...])
             bc_ref[...] = jnp.where(improved, cc, bc_ref[...])
             bdu_ref[...] = jnp.where(improved, cur_du, bdu_ref[...])
 
@@ -341,16 +482,17 @@ def ilqr_fused(
     x_init: jax.Array,   # [B, nx]
     C: jax.Array,        # [T, B, n, n] time-major (canonicalized)
     c: jax.Array,        # [T, B, n]
-    u_init: Optional[jax.Array],  # [T, B, 1]; None = zeros warm start
+    u_init: Optional[jax.Array],  # [T, B, nu]; None = zeros warm start
     u_lower=None,
     u_upper=None,
     cost_small=None,     # optional pre-broadcast (C, c): [n,n]/[T,n,n] etc.
     interpret: bool = False,
 ):
     """Run the fused whole-solve kernel. Returns time-major
-    (x [T,B,nx], u [T,B,1], costs [B], full_du_norm [B], n_iter [])."""
+    (x [T,B,nx], u [T,B,nu], costs [B], full_du_norm [B], n_iter [])."""
     T, B = cfg.T, x_init.shape[0]
-    nx, n = cfg.n_state, cfg.n_state + 1
+    nx, nu = cfg.n_state, cfg.n_ctrl
+    n = nx + nu
     f32 = jnp.float32
     params = jnp.asarray(params, f32)
     n_params = params.shape[0]
@@ -393,15 +535,15 @@ def ilqr_fused(
     u_specs = []
     if not u0_zero:
         u_p = _pad_batch(u_init.astype(f32), B, Bp)
-        u_in = [_to_lanes(u_p[..., 0], T, Bp)]
-        u_specs = [_bspec(T, ())]
+        u_in = [_to_lanes(u_p, T, Bp)]          # [T,nu,G,8,128]
+        u_specs = [_bspec(T, (nu,))]
 
     def expand_bound(val, sign):
         if val is None:
-            return jnp.full((T, Bp), sign * jnp.inf, f32)
+            return jnp.full((T, Bp, nu), sign * jnp.inf, f32)
         if jnp.ndim(val) == 0:
-            return jnp.broadcast_to(jnp.asarray(val, f32), (T, Bp))
-        return _pad_batch(jnp.broadcast_to(val, (T, B, 1)), B, Bp)[..., 0]
+            return jnp.broadcast_to(jnp.asarray(val, f32), (T, Bp, nu))
+        return _pad_batch(jnp.broadcast_to(val, (T, B, nu)), B, Bp)
 
     lb_l = _to_lanes(expand_bound(u_lower, -1.0), T, Bp)
     ub_l = _to_lanes(expand_bound(u_upper, +1.0), T, Bp)
@@ -410,10 +552,10 @@ def ilqr_fused(
     xi_l = xi_p.T.reshape(nx, G, 8, 128)
 
     kernel = functools.partial(
-        _ilqr_kernel, T, nx, n_params, cfg.lqr_iter, cfg.eps,
-        cfg.linesearch_decay, cfg.max_linesearch_iter, cfg.best_cost_eps,
-        cfg.not_improved_lim, dyn.step, dyn.linearize_point, cost_mode,
-        u0_zero,
+        _ilqr_kernel, T, nx, nu, n_params, cfg.lqr_iter, cfg.pnqp_iter,
+        cfg.eps, cfg.linesearch_decay, cfg.max_linesearch_iter,
+        cfg.best_cost_eps, cfg.not_improved_lim, dyn.step,
+        dyn.linearize_point, cost_mode, u0_zero,
     )
 
     with kernel_context():
@@ -424,34 +566,32 @@ def ilqr_fused(
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # params (1, P)
                 _bspec(None, (nx,)),  # x_init
             ] + cost_specs + u_specs + [
-                _bspec(T, ()),        # lb
-                _bspec(T, ()),        # ub
+                _bspec(T, (nu,)),     # lb
+                _bspec(T, (nu,)),     # ub
             ],
             out_specs=[
                 _bspec(T, (nx,)),     # bx
-                _bspec(T, ()),        # bu
+                _bspec(T, (nu,)),     # bu
                 _bspec(None, ()),     # bc
                 _bspec(None, ()),     # bdu
                 _bspec(None, ()),     # iters
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((T, nx, G, 8, 128), f32),
-                jax.ShapeDtypeStruct((T, G, 8, 128), f32),
+                jax.ShapeDtypeStruct((T, nu, G, 8, 128), f32),
                 jax.ShapeDtypeStruct((G, 8, 128), f32),
                 jax.ShapeDtypeStruct((G, 8, 128), f32),
                 jax.ShapeDtypeStruct((G, 8, 128), f32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((T, 8, 128), f32),          # u
+                pltpu.VMEM((T, nu, 8, 128), f32),      # u
                 pltpu.VMEM((T, nx, 8, 128), f32),      # x
-                pltpu.VMEM((T, nx, n, 8, 128), f32),   # F
-                pltpu.VMEM((T, n, 8, 128), f32),       # cb
-                pltpu.VMEM((T, nx, 8, 128), f32),      # K
-                pltpu.VMEM((T, 8, 128), f32),          # k
+                pltpu.VMEM((T, nu, nx, 8, 128), f32),  # K
+                pltpu.VMEM((T, nu, 8, 128), f32),      # k
                 pltpu.VMEM((nx, nx, 8, 128), f32),     # V
                 pltpu.VMEM((nx, 8, 128), f32),         # v
                 pltpu.VMEM((T, nx, 8, 128), f32),      # nxt
-                pltpu.VMEM((T, 8, 128), f32),          # nut
+                pltpu.VMEM((T, nu, 8, 128), f32),      # nut
                 pltpu.VMEM((8, 128), f32),             # cc
                 pltpu.SMEM((4,), jnp.int32),           # flags
             ],
@@ -459,8 +599,8 @@ def ilqr_fused(
         )(params.reshape(1, n_params), xi_l, *cost_in, *u_in, lb_l, ub_l)
 
     bx_l, bu_l, bc_l, bdu_l, it_l = out
-    x = _from_lanes(bx_l, T, B)             # [T,B,nx]
-    u = _from_lanes(bu_l, T, B)[..., None]  # [T,B,1]
+    x = _from_lanes(bx_l, T, B)   # [T,B,nx]
+    u = _from_lanes(bu_l, T, B)   # [T,B,nu]
     costs = bc_l.reshape(-1)[:B]
     du = bdu_l.reshape(-1)[:B]
     n_iter = jnp.max(it_l).astype(jnp.int32)
@@ -522,8 +662,8 @@ def _squeeze_io(kernel, cost_mode):
             out.append(_V(refs[i])); i += 1  # C lanes
             out.append(_V(refs[i])); i += 1  # c lanes
         # remaining tensor refs (u0?, lb, ub, 5 outputs) are lane tensors;
-        # scratch refs (the final 12) pass through raw
-        n_tensor = len(refs) - i - 12
+        # scratch refs (the final 10) pass through raw
+        n_tensor = len(refs) - i - 10
         for _ in range(n_tensor):
             out.append(_V(refs[i])); i += 1
         out.extend(refs[i:])
