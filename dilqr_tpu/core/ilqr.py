@@ -196,7 +196,17 @@ def ilqr_loop(
 
     def body(carry):
         (u, bx, bu, bc, bdu, nni, cur_du, i) = carry
-        new_x, new_u, out, _ = iteration(u)
+        new_x, new_u, out, n_qp = iteration(u)
+        if cfg.verbose >= 1:
+            from ..utils.logging import debug_table_log
+
+            debug_table_log(
+                "ilqr",
+                iter=i,
+                mean_cost=jnp.mean(out.costs),
+                du_max=jnp.max(out.full_du_norm),
+                mean_alpha=out.mean_alphas,
+            )
         improved = out.costs <= bc + cfg.best_cost_eps
         bx = jnp.where(improved[None, :, None], new_x, bx)
         bu = jnp.where(improved[None, :, None], new_u, bu)

@@ -73,6 +73,7 @@ class MPC:
             backward_mode=backward_mode,
             slew_rate_penalty=slew_rate_penalty,
             unroll=unroll or backward_mode is BackwardMode.UNROLL,
+            verbose=verbose,
         )
         self.u_lower = u_lower
         self.u_upper = u_upper

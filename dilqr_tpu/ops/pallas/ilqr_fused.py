@@ -92,6 +92,7 @@ def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
         and delta_u is None
         and cfg.qp_solver == "auto"
         and not cfg.unroll
+        and cfg.verbose < 1
         and cfg.grad_method in (GradMethod.ANALYTIC, GradMethod.AUTO_DIFF)
         and dyn.jacobian is None
         and dtype == jnp.float32

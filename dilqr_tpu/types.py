@@ -100,6 +100,10 @@ class ILQRConfig:
     backprop: bool = True
     not_improved_lim: int = 5
     best_cost_eps: float = 1e-4
+    # per-iteration console table (reference mpc.py:95-98, 287-297):
+    # 0 = silent, >= 1 prints iter / mean(cost) / ||du||_max / mean(alpha)
+    # via jax.debug.callback (XLA path only; the fused kernel is excluded)
+    verbose: int = 0
     backward_mode: BackwardMode = BackwardMode.KKT
     # pnqp box-QP controls (reference: pnqp.py:5, lqr_step.py:135-137)
     pnqp_iter: int = 20
