@@ -279,6 +279,59 @@ class ILExp:
                 f.close()
         return best_val
 
+    @staticmethod
+    def from_cli(argv=None) -> "ILExp":
+        """CLI mirroring the reference's argparse surface (il_exp.py:40-54).
+        Instead of a pickled --data fixture, --env (+ --populate) generates
+        the expert dataset in-process; --data loads a .npz saved by
+        scripts/make_datasets.py."""
+        import argparse
+
+        ap = argparse.ArgumentParser(description=__doc__)
+        ap.add_argument("--env", default="pendulum",
+                        choices=["pendulum", "cartpole", "pendulum-complex"])
+        ap.add_argument("--data", default=None,
+                        help=".npz dataset (scripts/make_datasets.py)")
+        ap.add_argument("--work", default="./work")
+        ap.add_argument("--save", default=None)
+        ap.add_argument("--n_batch", type=int, default=32)
+        ap.add_argument("--mode", default="sysid",
+                        choices=["nn", "empc", "imempc", "sysid"])
+        ap.add_argument("--learn_cost", action="store_true")
+        ap.add_argument("--learn_dx", action="store_true")
+        ap.add_argument("--seed", type=int, default=5)
+        ap.add_argument("--n_epoch", type=int, default=1000)
+        ap.add_argument("--n_train", type=int, default=100)
+        ap.add_argument("--mpc_T", type=int, default=20)
+        ap.add_argument("--lqr_iter", type=int, default=10)
+        args = ap.parse_args(argv)
+
+        env = ILEnv(env=args.env, mpc_T=args.mpc_T, lqr_iter=args.lqr_iter)
+        if args.data is not None:
+            d = np.load(args.data)
+            env.train_data = d["train"]
+            env.val_data = d["val"]
+            env.test_data = d["test"]
+        else:
+            env.populate_data(
+                n_train=args.n_train,
+                n_val=max(8, args.n_train // 5),
+                n_test=max(8, args.n_train // 5),
+                seed=args.seed,
+            )
+        return ILExp(
+            env=env,
+            mode=args.mode,
+            learn_cost=args.learn_cost,
+            learn_dx=args.learn_dx,
+            n_batch=args.n_batch,
+            n_epoch=args.n_epoch,
+            n_train=args.n_train,
+            seed=args.seed,
+            work=args.work,
+            save=args.save,
+        )
+
     def dataset_loss(self, data, warmstart):
         """Mean imitation loss over a dataset (il_exp.py:442-504)."""
         xinits = jnp.asarray(data[:, :, : self.n_state])[:, 0]
@@ -304,3 +357,7 @@ class ILExp:
             pred_u = self._eval_fn(self.params, xinits, warmstart)
             new_ws = pred_u
         return float(jnp.mean((us - pred_u) ** 2)), new_ws
+
+
+if __name__ == "__main__":
+    ILExp.from_cli().run()
