@@ -147,27 +147,34 @@ def ilqr_loop(
     T, B = cfg.T, x_init.shape[0]
     dtype = x_init.dtype
 
+    use_fused = False
     if cfg.backend != "xla":
         from ..ops.pallas.ilqr_fused import fused_supported, ilqr_fused
 
-        on_tpu = jax.default_backend() == "tpu"
-        if fused_supported(
+        use_fused = fused_supported(
             cfg, cost, dyn, params, u_zero_I, delta_u, dtype
-        ) and (cfg.backend == "pallas" or on_tpu):
-            x, u, costs, du, n_iter = ilqr_fused(
-                cfg,
-                dyn,
-                params,
-                x_init,
-                cost.C,
-                cost.c,
-                None if u_init_zero else u_init,
-                u_lower=u_lower,
-                u_upper=u_upper,
-                cost_small=cost_small,
-                interpret=not on_tpu,
+        )
+
+        def fused_call(interpret):
+            return ILQRInternal(
+                *ilqr_fused(
+                    cfg,
+                    dyn,
+                    params,
+                    x_init,
+                    cost.C,
+                    cost.c,
+                    None if u_init_zero else u_init,
+                    u_lower=u_lower,
+                    u_upper=u_upper,
+                    cost_small=cost_small,
+                    interpret=interpret,
+                )
             )
-            return ILQRInternal(x, u, costs, du, n_iter)
+
+        if use_fused and cfg.backend == "pallas":
+            # forced: compiled on TPU, interpreter elsewhere (tests)
+            return fused_call(interpret=jax.default_backend() != "tpu")
 
     dyn_roll = dyn if isinstance(dyn, LinDx) else (dyn.step, params)
 
@@ -217,17 +224,28 @@ def ilqr_loop(
         nni = jnp.where((i > 0) & jnp.any(improved), 0, nni + 1)
         return (new_u, bx, bu, bc, bdu, nni, out.full_du_norm, i + 1)
 
-    carry0 = (
-        u_init,
-        jnp.zeros((T, B, cfg.n_state), dtype),
-        jnp.zeros((T, B, cfg.n_ctrl), dtype),
-        inf,
-        inf,
-        jnp.int32(0),
-        inf,
-        jnp.int32(0),
-    )
-    (_, bx, bu, bc, bdu, _, _, i) = bounded_while(
-        cond, body, carry0, max_steps=cfg.lqr_iter, unroll=cfg.unroll
-    )
-    return ILQRInternal(bx, bu, bc, bdu, i)
+    def xla_loop():
+        carry0 = (
+            u_init,
+            jnp.zeros((T, B, cfg.n_state), dtype),
+            jnp.zeros((T, B, cfg.n_ctrl), dtype),
+            inf,
+            inf,
+            jnp.int32(0),
+            inf,
+            jnp.int32(0),
+        )
+        (_, bx, bu, bc, bdu, _, _, i) = bounded_while(
+            cond, body, carry0, max_steps=cfg.lqr_iter, unroll=cfg.unroll
+        )
+        return ILQRInternal(bx, bu, bc, bdu, i)
+
+    if use_fused and jax.default_backend() == "tpu":
+        # backend="auto" keys on jax.default_backend() at trace time. A
+        # lowering-time platform switch (lax.platform_dependent) does not
+        # work here: it lowers ALL branches and pallas_call has no compiled
+        # CPU lowering. Programs that target CPU devices while a TPU
+        # plugin is registered (e.g. a virtual CPU mesh) must pass
+        # backend="xla" explicitly.
+        return fused_call(interpret=False)
+    return xla_loop()

@@ -54,7 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ...models.base import Dynamics
 from ...types import GradMethod, ILQRConfig, QuadCost
 from ...utils.kernel_math import kernel_context
-from .riccati_fused import BT, _from_lanes, _pad_batch, _to_lanes
+from .layout import (BT, LaneView, bspec, expand_bound, from_lanes,
+                     pad_batch, pad_cost_identity, to_lanes)
 
 MAX_NU = 3
 
@@ -96,10 +97,23 @@ def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
         and cfg.grad_method in (GradMethod.ANALYTIC, GradMethod.AUTO_DIFF)
         and dyn.jacobian is None
         and dtype == jnp.float32
-        and params is not None
-        and getattr(jnp.asarray(params), "ndim", None) == 1
+        and _is_flat_params(params)
         and _scratch_bytes(cfg) <= VMEM_SCRATCH_LIMIT
     )
+
+
+def _is_flat_params(params) -> bool:
+    """True iff params is a single rank-1 array (pytree params -- e.g.
+    NNDynamics weight lists -- cannot ride in as SMEM scalars)."""
+    if params is None:
+        return False
+    import numpy as np
+
+    if isinstance(params, (jax.Array, np.ndarray)):
+        return params.ndim == 1
+    if isinstance(params, jax.core.Tracer):
+        return getattr(params, "ndim", None) == 1
+    return False
 
 
 # ---------------------------------------------------------------------------
@@ -517,13 +531,10 @@ def ilqr_fused(
             cs_in = cs.reshape(T, n)
 
     if cost_mode == "lanes":
-        C_p = _pad_batch(C.astype(f32), B, Bp)
-        if Bp != B:
-            eye = jnp.broadcast_to(jnp.eye(n, dtype=f32), (T, Bp - B, n, n))
-            C_p = C_p.at[:, B:].set(eye)
-        c_p = _pad_batch(c.astype(f32), B, Bp)
-        cost_in = [_to_lanes(C_p, T, Bp), _to_lanes(c_p, T, Bp)]
-        cost_specs = [_bspec(T, (n, n)), _bspec(T, (n,))]
+        C_p = pad_cost_identity(pad_batch(C.astype(f32), B, Bp), T, B, Bp, n)
+        c_p = pad_batch(c.astype(f32), B, Bp)
+        cost_in = [to_lanes(C_p, T, Bp), to_lanes(c_p, T, Bp)]
+        cost_specs = [bspec(T, (n, n)), bspec(T, (n,))]
     else:
         cost_in = [Cs_in, cs_in]
         cost_specs = [
@@ -535,21 +546,14 @@ def ilqr_fused(
     u_in = []
     u_specs = []
     if not u0_zero:
-        u_p = _pad_batch(u_init.astype(f32), B, Bp)
-        u_in = [_to_lanes(u_p, T, Bp)]          # [T,nu,G,8,128]
-        u_specs = [_bspec(T, (nu,))]
+        u_p = pad_batch(u_init.astype(f32), B, Bp)
+        u_in = [to_lanes(u_p, T, Bp)]          # [T,nu,G,8,128]
+        u_specs = [bspec(T, (nu,))]
 
-    def expand_bound(val, sign):
-        if val is None:
-            return jnp.full((T, Bp, nu), sign * jnp.inf, f32)
-        if jnp.ndim(val) == 0:
-            return jnp.broadcast_to(jnp.asarray(val, f32), (T, Bp, nu))
-        return _pad_batch(jnp.broadcast_to(val, (T, B, nu)), B, Bp)
+    lb_l = to_lanes(expand_bound(u_lower, T, B, Bp, nu, -1.0), T, Bp)
+    ub_l = to_lanes(expand_bound(u_upper, T, B, Bp, nu, +1.0), T, Bp)
 
-    lb_l = _to_lanes(expand_bound(u_lower, -1.0), T, Bp)
-    ub_l = _to_lanes(expand_bound(u_upper, +1.0), T, Bp)
-
-    xi_p = _pad_batch(x_init.astype(f32)[None], B, Bp)[0]  # [Bp, nx]
+    xi_p = pad_batch(x_init.astype(f32)[None], B, Bp)[0]  # [Bp, nx]
     xi_l = xi_p.T.reshape(nx, G, 8, 128)
 
     kernel = functools.partial(
@@ -565,17 +569,17 @@ def ilqr_fused(
             grid=(G,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # params (1, P)
-                _bspec(None, (nx,)),  # x_init
+                bspec(None, (nx,)),  # x_init
             ] + cost_specs + u_specs + [
-                _bspec(T, (nu,)),     # lb
-                _bspec(T, (nu,)),     # ub
+                bspec(T, (nu,)),     # lb
+                bspec(T, (nu,)),     # ub
             ],
             out_specs=[
-                _bspec(T, (nx,)),     # bx
-                _bspec(T, (nu,)),     # bu
-                _bspec(None, ()),     # bc
-                _bspec(None, ()),     # bdu
-                _bspec(None, ()),     # iters
+                bspec(T, (nx,)),     # bx
+                bspec(T, (nu,)),     # bu
+                bspec(None, ()),     # bc
+                bspec(None, ()),     # bdu
+                bspec(None, ()),     # iters
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((T, nx, G, 8, 128), f32),
@@ -600,73 +604,33 @@ def ilqr_fused(
         )(params.reshape(1, n_params), xi_l, *cost_in, *u_in, lb_l, ub_l)
 
     bx_l, bu_l, bc_l, bdu_l, it_l = out
-    x = _from_lanes(bx_l, T, B)   # [T,B,nx]
-    u = _from_lanes(bu_l, T, B)   # [T,B,nu]
+    x = from_lanes(bx_l, T, B)   # [T,B,nx]
+    u = from_lanes(bu_l, T, B)   # [T,B,nu]
     costs = bc_l.reshape(-1)[:B]
     du = bdu_l.reshape(-1)[:B]
     n_iter = jnp.max(it_l).astype(jnp.int32)
     return x, u, costs, du, n_iter
 
 
-def _bspec(T, small):
-    """BlockSpec for a lanes array [*lead, *small, G, 8, 128] blocked to
-    group g. T=None means no leading time dim."""
-    lead = () if T is None else (T,)
-    m = len(lead) + len(small)
-    return pl.BlockSpec(
-        lead + small + (1, 8, 128),
-        lambda g, m=m: (0,) * m + (g, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-
-
 def _squeeze_io(kernel, cost_mode):
-    """View away the size-1 grid-blocked batch-group dim on tensor refs
-    (SMEM refs and scratch refs pass through untouched)."""
-
-    class _V:
-        __slots__ = ("r",)
-
-        def __init__(self, r):
-            self.r = r
-
-        @property
-        def shape(self):
-            s = self.r.shape
-            return s[:-3] + s[-2:]
-
-        def _fix(self, idx):
-            if idx is Ellipsis:
-                idx = ()
-            elif not isinstance(idx, tuple):
-                idx = (idx,)
-            n_small = len(self.r.shape) - 3
-            assert len(idx) <= n_small
-            return idx + (slice(None),) * (n_small - len(idx)) + (0,)
-
-        def __getitem__(self, idx):
-            return self.r[self._fix(idx)]
-
-        def __setitem__(self, idx, val):
-            self.r[self._fix(idx)] = val
-
+    """Wrap lane-tensor refs in LaneView (SMEM refs and the trailing 10
+    scratch refs pass through untouched)."""
     n_smem_cost = 2 if cost_mode == "smem" else 0
 
     def wrapped(*refs):
         out = [refs[0]]  # params SMEM
         i = 1
-        out.append(_V(refs[i])); i += 1  # x_init
+        out.append(LaneView(refs[i])); i += 1  # x_init
         if n_smem_cost:
             out.append(refs[i]); i += 1  # Cs SMEM
             out.append(refs[i]); i += 1  # cs SMEM
         else:
-            out.append(_V(refs[i])); i += 1  # C lanes
-            out.append(_V(refs[i])); i += 1  # c lanes
-        # remaining tensor refs (u0?, lb, ub, 5 outputs) are lane tensors;
-        # scratch refs (the final 10) pass through raw
+            out.append(LaneView(refs[i])); i += 1  # C lanes
+            out.append(LaneView(refs[i])); i += 1  # c lanes
+        # remaining tensor refs (u0?, lb, ub, 5 outputs) are lane tensors
         n_tensor = len(refs) - i - 10
         for _ in range(n_tensor):
-            out.append(_V(refs[i])); i += 1
+            out.append(LaneView(refs[i])); i += 1
         out.extend(refs[i:])
         kernel(*out)
 

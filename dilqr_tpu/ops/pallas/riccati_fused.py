@@ -36,8 +36,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BT = 1024  # examples per grid cell: 8 sublanes x 128 lanes
-_TILE = (8, 128)
+from .layout import (BT, LaneView, bspec, from_lanes, pad_batch,
+                     pad_cost_identity, to_lanes)
 
 
 def pallas_supported(n_ctrl: int, dtype, u_zero_I, qp_solver: str) -> bool:
@@ -144,30 +144,6 @@ def _riccati_kernel(T, nx, boxed, C_ref, c_ref, F_ref, lb_ref, ub_ref,
     lax.fori_loop(0, T, body, 0)
 
 
-def _pad_batch(x, B, Bp):
-    if B == Bp:
-        return x
-    pad = [(0, 0)] * x.ndim
-    pad[1] = (0, Bp - B)
-    return jnp.pad(x, pad)
-
-
-def _to_lanes(x, T, Bp):
-    """[T, Bp, *small] -> [T, *small, Bp//BT, 8, 128] (batch on lanes)."""
-    small = x.shape[2:]
-    perm = (0,) + tuple(range(2, x.ndim)) + (1,)
-    x = x.transpose(perm)  # [T, *small, Bp]
-    return x.reshape((T,) + small + (Bp // BT, 8, 128))
-
-
-def _from_lanes(x, T, B):
-    """[T, *small, G, 8, 128] -> [T, B, *small]."""
-    small = x.shape[1:-3]
-    x = x.reshape((T,) + small + (-1,))
-    perm = (0, x.ndim - 1) + tuple(range(1, x.ndim - 1))
-    return x.transpose(perm)[:, :B]
-
-
 def lqr_backward_pallas(
     n_state: int,
     C: jax.Array,
@@ -200,41 +176,30 @@ def lqr_backward_pallas(
 
     # pad batch; padded examples get C = I so Quu = 1 (no div-by-zero; their
     # outputs are sliced away)
-    C_p = _pad_batch(C, B, Bp)
-    if Bp != B:
-        eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (T, Bp - B, n, n))
-        C_p = C_p.at[:, B:].set(eye)
-    c_p = _pad_batch(c, B, Bp)
-    F_p = _pad_batch(F_full, B, Bp)
+    C_p = pad_cost_identity(pad_batch(C, B, Bp), T, B, Bp, n)
+    c_p = pad_batch(c, B, Bp)
+    F_p = pad_batch(F_full, B, Bp)
 
     def expand_bound(val):
         if jnp.ndim(val) == 0:
             return jnp.broadcast_to(jnp.asarray(val, dtype), (T, Bp, 1))
-        return _pad_batch(jnp.broadcast_to(val, (T, B, 1)), B, Bp)
+        return pad_batch(jnp.broadcast_to(val, (T, B, 1)), B, Bp)
 
     if boxed:
-        u_p = _pad_batch(u, B, Bp)
+        u_p = pad_batch(u, B, Bp)
         lb = expand_bound(u_lower) - u_p
         ub = expand_bound(u_upper) - u_p
         if delta_u is not None:
             lb = jnp.maximum(lb, -delta_u)
             ub = jnp.minimum(ub, delta_u)
-        lb_l = _to_lanes(lb[..., 0], T, Bp)
-        ub_l = _to_lanes(ub[..., 0], T, Bp)
+        lb_l = to_lanes(lb[..., 0], T, Bp)
+        ub_l = to_lanes(ub[..., 0], T, Bp)
     else:
         lb_l = ub_l = jnp.zeros((T, G, 8, 128), dtype)
 
-    C_l = _to_lanes(C_p, T, Bp)  # [T,n,n,G,8,128]
-    c_l = _to_lanes(c_p, T, Bp)  # [T,n,G,8,128]
-    F_l = _to_lanes(F_p, T, Bp)  # [T,nx,n,G,8,128]
-
-    def bspec(*small):
-        nd = len(small)
-        return pl.BlockSpec(
-            (T,) + small + (1, 8, 128),
-            lambda g, nd=nd: (0,) * (1 + nd) + (g, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+    C_l = to_lanes(C_p, T, Bp)  # [T,n,n,G,8,128]
+    c_l = to_lanes(c_p, T, Bp)  # [T,n,G,8,128]
+    F_l = to_lanes(F_p, T, Bp)  # [T,nx,n,G,8,128]
 
     kernel = functools.partial(_riccati_kernel, T, nx, boxed)
 
@@ -243,8 +208,9 @@ def lqr_backward_pallas(
         # leading block of 1 on the batch-group axis, so index [..., 0, :, :]
         _squeeze_wrap(kernel, nx),
         grid=(G,),
-        in_specs=[bspec(n, n), bspec(n), bspec(nx, n), bspec(), bspec()],
-        out_specs=[bspec(nx), bspec()],
+        in_specs=[bspec(T, (n, n)), bspec(T, (n,)), bspec(T, (nx, n)),
+                  bspec(T, ()), bspec(T, ())],
+        out_specs=[bspec(T, (nx,)), bspec(T, ())],
         out_shape=[
             jax.ShapeDtypeStruct((T, nx, G, 8, 128), dtype),
             jax.ShapeDtypeStruct((T, G, 8, 128), dtype),
@@ -256,37 +222,20 @@ def lqr_backward_pallas(
         interpret=interpret,
     )(C_l, c_l, F_l, lb_l, ub_l)
 
-    K = _from_lanes(K_l, T, B)  # [T,B,nx]
-    k = _from_lanes(k_l, T, B)  # [T,B]
+    K = from_lanes(K_l, T, B)  # [T,B,nx]
+    k = from_lanes(k_l, T, B)  # [T,B]
     return K[:, :, None, :], k[..., None]
 
 
 def _squeeze_wrap(kernel, nx):
-    """Adapt refs with a size-1 batch-group block dim to the kernel's
-    [..., 8, 128] indexing by viewing that dim away."""
+    """Wrap the lane refs in layout.LaneView (scratch refs pass raw)."""
 
-    def wrapped(C_ref, c_ref, F_ref, lb_ref, ub_ref, K_ref, k_ref, V_ref, v_ref):
-        class _View:
-            __slots__ = ("ref", "pre")
-
-            def __init__(self, ref, pre):
-                self.ref = ref
-                self.pre = pre  # number of leading small dims before group
-
-            def __getitem__(self, idx):
-                if not isinstance(idx, tuple):
-                    idx = (idx,)
-                return self.ref[idx + (0,)]
-
-            def __setitem__(self, idx, val):
-                if not isinstance(idx, tuple):
-                    idx = (idx,)
-                self.ref[idx + (0,)] = val
-
+    def wrapped(C_ref, c_ref, F_ref, lb_ref, ub_ref, K_ref, k_ref, V_ref,
+                v_ref):
         kernel(
-            _View(C_ref, 3), _View(c_ref, 2), _View(F_ref, 3),
-            _View(lb_ref, 1), _View(ub_ref, 1),
-            _View(K_ref, 2), _View(k_ref, 1),
+            LaneView(C_ref), LaneView(c_ref), LaneView(F_ref),
+            LaneView(lb_ref), LaneView(ub_ref),
+            LaneView(K_ref), LaneView(k_ref),
             V_ref, v_ref,
         )
 

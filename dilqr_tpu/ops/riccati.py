@@ -104,7 +104,10 @@ def lqr_backward(
     nx, nu = n_state, n_ctrl
     boxed = u_lower is not None
 
-    if backend != "xla":
+    if backend != "xla" and f is None:
+        # NB the fused kernel implements the delta-space form (f folds into
+        # c upstream, lqr_step.py:284-296); a non-None f must take the scan
+        # path below, which applies q_t += F^T V f_t.
         from .pallas import lqr_backward_pallas, pallas_supported
 
         on_tpu = jax.default_backend() == "tpu"

@@ -115,10 +115,12 @@ class ILQRConfig:
     # golden tests).
     qp_solver: str = "auto"
     # Compute backend for the hot solver stages: "auto" uses the fused
-    # Pallas TPU kernels (ops/pallas) when compiling for TPU and the config
-    # supports them (n_ctrl==1, f32, closed-form QP), falling back to the
-    # pure-XLA lax.scan path otherwise; "pallas" forces the kernels
-    # (interpret-mode off TPU -- tests); "xla" disables them.
+    # Pallas TPU kernels (ops/pallas) when lowering for TPU and the config
+    # supports them -- the whole-solve megakernel covers n_ctrl <= 3
+    # (pendulum/cartpole/rocket), QuadCost, callable Dynamics, f32, no
+    # u_zero_I/delta_u; see ops/pallas/ilqr_fused.fused_supported -- and
+    # falls back to the pure-XLA lax.scan path otherwise. "pallas" forces
+    # the kernels (interpret-mode off TPU -- tests); "xla" disables them.
     backend: str = "auto"
     # Use a differentiable fixed-trip-count outer loop (lax.scan with masks)
     # instead of lax.while_loop. Required for BackwardMode.UNROLL; the

@@ -39,13 +39,15 @@ def cartpole_frame(x, length: float = 0.5, ax=None):
     """Draw one cartpole state (p, p_dot, cos th, sin th, th_dot).
     Reference cartpole.py:841-857 (cart marker + pole of length 2l)."""
     plt = _mpl()
+    from matplotlib import patches
+
     x = np.asarray(x)
     p, cos_th, sin_th = float(x[0]), float(x[2]), float(x[3])
     if ax is None:
         _, ax = plt.subplots(figsize=(6, 3))
     cart_w, cart_h = 0.4, 0.2
     ax.add_patch(
-        __import__("matplotlib.patches", fromlist=["Rectangle"]).Rectangle(
+        patches.Rectangle(
             (p - cart_w / 2, -cart_h / 2), cart_w, cart_h, color="k"
         )
     )

@@ -9,10 +9,11 @@ fleet of rockets lands in one program.
     python examples/rocket_landing.py [--batch 256] [--steps 40] [--plot]
 """
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -161,6 +161,28 @@ def test_fused_whole_solve_warm_start_and_per_time_cost():
     )
 
 
+def test_fused_dispatch_tolerates_pytree_params():
+    """Regression: fused_supported must return False (not crash) for
+    pytree dynamics params (NNDynamics weight lists) under the default
+    backend."""
+    from dilqr_tpu.core.solver import solve
+    from dilqr_tpu.models import nn_dynamics
+    from dilqr_tpu.types import ILQRConfig, QuadCost
+
+    dyn = nn_dynamics.make(3, 1)
+    params = nn_dynamics.init_params(jax.random.PRNGKey(0), 3, 1, (8,))
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=4, lqr_iter=2, eps=1e-4,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    q = jnp.ones(4)
+    r = solve(
+        cfg, 0.1 * jnp.ones((2, 3)),  # tests run x64; params follow
+        QuadCost(jnp.diag(q), jnp.zeros(4)), dyn, params=params,
+    )
+    assert np.isfinite(np.asarray(r.costs)).all()
+
+
 def test_pallas_riccati_delta_u():
     T, B, nx = 5, 3, 4
     C, c, F, u = _problem(1, T, B, nx)
