@@ -73,14 +73,15 @@ def canonicalize_u_init(u_init, T: int, B: int, n_ctrl: int, dtype):
 
 
 def canonicalize_bound(v, T: int, B: int, n_ctrl: int, dtype):
-    """Scalar | [nu] | [T,nu] | [B,T,nu] -> scalar or time-major [T,B,nu]."""
+    """Scalar | [nu] | [T,nu] | [B,T,nu] -> scalar/[nu] (kept compact --
+    downstream broadcasting handles them, and the fused kernel can bake
+    example-invariant bounds in as compile-time constants) or time-major
+    [T,B,nu]."""
     if v is None:
         return None
     v = jnp.asarray(v, dtype)
-    if v.ndim == 0:
+    if v.ndim <= 1:
         return v
-    if v.ndim == 1:
-        return jnp.broadcast_to(v, (T, B, n_ctrl))
     if v.ndim == 2:
         return jnp.broadcast_to(v[:, None], (T, B, n_ctrl))
     return jnp.swapaxes(v, 0, 1)

@@ -102,6 +102,31 @@ def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
     )
 
 
+def _static_bounds(u_lower, u_upper, nu):
+    """Per-control-dim (lower, upper) python-float tuples when both bounds
+    are compile-time constants (None | concrete scalar | concrete [nu]);
+    None when either is traced or per-time/per-example."""
+    import numpy as np
+
+    def conv(val, sign):
+        if val is None:
+            return (sign * float("inf"),) * nu
+        if isinstance(val, jax.core.Tracer):
+            return None
+        v = np.asarray(val)
+        if v.ndim == 0:
+            return (float(v),) * nu
+        if v.ndim == 1 and v.shape[0] == nu:
+            return tuple(float(x) for x in v)
+        return None
+
+    lo = conv(u_lower, -1.0)
+    hi = conv(u_upper, +1.0)
+    if lo is None or hi is None:
+        return None
+    return (lo, hi)
+
+
 def _is_flat_params(params) -> bool:
     """True iff params is a single rank-1 array (pytree params -- e.g.
     NNDynamics weight lists -- cannot ride in as SMEM scalars)."""
@@ -238,6 +263,7 @@ def _ilqr_kernel(
     # statics bound via partial:
     T, nx, nu, n_params, lqr_iter, pnqp_iter, eps, ls_decay, max_ls_iter,
     best_cost_eps, not_improved_lim, step_fn, lin_fn, cost_mode, u0_zero,
+    bounds_static,
     *refs,
 ):
     """cost_mode: "lanes" (C_ref/c_ref per-example lane tensors) or "smem"
@@ -256,8 +282,9 @@ def _ilqr_kernel(
         Cs_ref = next(it_r)
         cs_ref = next(it_r)
     u0_ref = None if u0_zero else next(it_r)
-    lb_ref = next(it_r)
-    ub_ref = next(it_r)
+    if bounds_static is None:
+        lb_ref = next(it_r)
+        ub_ref = next(it_r)
     bx_ref = next(it_r)
     bu_ref = next(it_r)
     bc_ref = next(it_r)
@@ -298,6 +325,17 @@ def _ilqr_kernel(
 
     params = [params_ref[0, i] for i in range(n_params)]
     x_init = xi_ref[...]
+
+    if bounds_static is None:
+        lb_at = lambda t: lb_ref[t]
+        ub_at = lambda t: ub_ref[t]
+    else:
+        # example-invariant bounds baked in as compile-time constants
+        lbc, ubc = bounds_static
+        lb_const = jnp.stack([jnp.full((8, 128), v, f32) for v in lbc])
+        ub_const = jnp.stack([jnp.full((8, 128), v, f32) for v in ubc])
+        lb_at = lambda t: lb_const
+        ub_at = lambda t: ub_const
 
     if u0_zero:
         u_ref[...] = jnp.zeros(u_ref.shape, f32)
@@ -381,8 +419,8 @@ def _ilqr_kernel(
                 Quu = Q[nx:, nx:]
                 qx = q[:nx]
                 qu = q[nx:]
-                lb = lb_ref[t] - u_ref[t]
-                ub = ub_ref[t] - u_ref[t]
+                lb = lb_at(t) - u_ref[t]
+                ub = ub_at(t) - u_ref[t]
 
                 if nu == 1:
                     # exact closed-form 1-D box-QP (see ops/riccati.py)
@@ -436,7 +474,7 @@ def _ilqr_kernel(
                     dxt = xt - x_ref[t]
                     new_u = _mv(K_ref[t], dxt) + u_ref[t] \
                         + alpha[None] * k_ref[t]
-                    new_u = jnp.clip(new_u, lb_ref[t], ub_ref[t])
+                    new_u = jnp.clip(new_u, lb_at(t), ub_at(t))
                     if record_du:
                         d = u_ref[t] - new_u
                         du2 = du2 + (d * d).sum(0)
@@ -550,8 +588,16 @@ def ilqr_fused(
         u_in = [to_lanes(u_p, T, Bp)]          # [T,nu,G,8,128]
         u_specs = [bspec(T, (nu,))]
 
-    lb_l = to_lanes(expand_bound(u_lower, T, B, Bp, nu, -1.0), T, Bp)
-    ub_l = to_lanes(expand_bound(u_upper, T, B, Bp, nu, +1.0), T, Bp)
+    bounds_static = _static_bounds(u_lower, u_upper, nu)
+    if bounds_static is None:
+        bound_in = [
+            to_lanes(expand_bound(u_lower, T, B, Bp, nu, -1.0), T, Bp),
+            to_lanes(expand_bound(u_upper, T, B, Bp, nu, +1.0), T, Bp),
+        ]
+        bound_specs = [bspec(T, (nu,)), bspec(T, (nu,))]
+    else:
+        bound_in = []
+        bound_specs = []
 
     xi_p = pad_batch(x_init.astype(f32)[None], B, Bp)[0]  # [Bp, nx]
     xi_l = xi_p.T.reshape(nx, G, 8, 128)
@@ -560,7 +606,7 @@ def ilqr_fused(
         _ilqr_kernel, T, nx, nu, n_params, cfg.lqr_iter, cfg.pnqp_iter,
         cfg.eps, cfg.linesearch_decay, cfg.max_linesearch_iter,
         cfg.best_cost_eps, cfg.not_improved_lim, dyn.step,
-        dyn.linearize_point, cost_mode, u0_zero,
+        dyn.linearize_point, cost_mode, u0_zero, bounds_static,
     )
 
     with kernel_context():
@@ -570,10 +616,7 @@ def ilqr_fused(
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # params (1, P)
                 bspec(None, (nx,)),  # x_init
-            ] + cost_specs + u_specs + [
-                bspec(T, (nu,)),     # lb
-                bspec(T, (nu,)),     # ub
-            ],
+            ] + cost_specs + u_specs + bound_specs,
             out_specs=[
                 bspec(T, (nx,)),     # bx
                 bspec(T, (nu,)),     # bu
@@ -601,7 +644,7 @@ def ilqr_fused(
                 pltpu.SMEM((4,), jnp.int32),           # flags
             ],
             interpret=interpret,
-        )(params.reshape(1, n_params), xi_l, *cost_in, *u_in, lb_l, ub_l)
+        )(params.reshape(1, n_params), xi_l, *cost_in, *u_in, *bound_in)
 
     bx_l, bu_l, bc_l, bdu_l, it_l = out
     x = from_lanes(bx_l, T, B)   # [T,B,nx]
