@@ -40,18 +40,21 @@ from .layout import (BT, LaneView, bspec, from_lanes, pad_batch,
                      pad_cost_identity, to_lanes)
 
 
-def pallas_supported(n_ctrl: int, dtype, u_zero_I, qp_solver: str) -> bool:
-    """The fused kernel covers the hot path: nu==1, f32, no u_zero_I, and
-    the closed-form QP ("auto")."""
+def pallas_supported(n_ctrl: int, dtype, u_zero_I, qp_solver: str,
+                     boxed: bool) -> bool:
+    """The fused kernel covers nu==1, f32, closed-form QP ("auto"), in
+    three gain modes: free, box-constrained, and u_zero_I-masked (the
+    KKT/IFT backward's frozen active set, reference lqr_step.py:99-127 --
+    the reference applies it only to the unconstrained solve, as here)."""
     return (
         n_ctrl == 1
         and dtype == jnp.float32
-        and u_zero_I is None
+        and (u_zero_I is None or not boxed)
         and qp_solver == "auto"
     )
 
 
-def _riccati_kernel(T, nx, boxed, C_ref, c_ref, F_ref, lb_ref, ub_ref,
+def _riccati_kernel(T, nx, mode, C_ref, c_ref, F_ref, lb_ref, ub_ref,
                     K_ref, k_ref, V_ref, v_ref):
     """One batch tile: full reverse-time recursion with V, v in VMEM.
 
@@ -110,7 +113,7 @@ def _riccati_kernel(T, nx, boxed, C_ref, c_ref, F_ref, lb_ref, ub_ref,
         qu = q[nx]
 
         kt_free = -qu / Quu
-        if boxed:
+        if mode == "box":
             lb = lb_ref[t]
             ub = ub_ref[t]
             kt = jnp.clip(kt_free, lb, ub)
@@ -121,6 +124,15 @@ def _riccati_kernel(T, nx, boxed, C_ref, c_ref, F_ref, lb_ref, ub_ref,
             If = jnp.where(Ic, 0.0, 1.0)
             H_free = Quu * If + 1e-11
             K = [-(Qux[j] * If) / H_free for j in range(nx)]
+        elif mode == "zero":
+            # equality constraints u = 0 on the mask (lb_ref carries the
+            # float mask; reference lqr_step.py:99-127 incl. the quirk that
+            # k uses the UNmasked Quu, lqr_step.py:121-123)
+            uz = lb_ref[t]
+            notI = 1.0 - uz
+            Quu_m = Quu * notI + 1e-8 * uz
+            kt = -(qu * notI) / Quu
+            K = [-(Qux[j] * notI) / Quu_m for j in range(nx)]
         else:
             kt = kt_free
             K = [-Qux[j] / Quu for j in range(nx)]
@@ -152,18 +164,21 @@ def lqr_backward_pallas(
     u: jax.Array,
     u_lower=None,
     u_upper=None,
+    u_zero_I=None,
     delta_u=None,
     interpret: bool = False,
 ):
     """Drop-in fused version of ops/riccati.lqr_backward for nu == 1 with
     the closed-form QP. Returns (K [T,B,1,nx], k [T,B,1]).
 
-    C: [T,B,n,n], c: [T,B,n], F: [T-1,B,nx,n] or None, u: [T,B,1].
+    C: [T,B,n,n], c: [T,B,n], F: [T-1,B,nx,n] or None, u: [T,B,1];
+    u_zero_I: optional [T,B,1] mask (unconstrained solves only).
     """
     T, B = C.shape[0], C.shape[1]
     nx, n = n_state, n_state + 1
     dtype = C.dtype
     boxed = u_lower is not None
+    mode = "box" if boxed else ("zero" if u_zero_I is not None else "free")
 
     Bp = -(-B // BT) * BT
     G = Bp // BT
@@ -194,6 +209,10 @@ def lqr_backward_pallas(
             ub = jnp.minimum(ub, delta_u)
         lb_l = to_lanes(lb[..., 0], T, Bp)
         ub_l = to_lanes(ub[..., 0], T, Bp)
+    elif mode == "zero":
+        uz = pad_batch(u_zero_I.astype(dtype), B, Bp)
+        lb_l = to_lanes(uz[..., 0], T, Bp)
+        ub_l = jnp.zeros((T, G, 8, 128), dtype)
     else:
         lb_l = ub_l = jnp.zeros((T, G, 8, 128), dtype)
 
@@ -201,7 +220,7 @@ def lqr_backward_pallas(
     c_l = to_lanes(c_p, T, Bp)  # [T,n,G,8,128]
     F_l = to_lanes(F_p, T, Bp)  # [T,nx,n,G,8,128]
 
-    kernel = functools.partial(_riccati_kernel, T, nx, boxed)
+    kernel = functools.partial(_riccati_kernel, T, nx, mode)
 
     K_l, k_l = pl.pallas_call(
         # squeeze the size-1 grid-blocked dim via index tricks: refs keep a

@@ -111,7 +111,7 @@ def lqr_backward(
         from .pallas import lqr_backward_pallas, pallas_supported
 
         on_tpu = jax.default_backend() == "tpu"
-        if pallas_supported(nu, C.dtype, u_zero_I, qp_solver) and (
+        if pallas_supported(nu, C.dtype, u_zero_I, qp_solver, boxed) and (
             backend == "pallas" or on_tpu
         ):
             K, k = lqr_backward_pallas(
@@ -122,6 +122,7 @@ def lqr_backward(
                 u,
                 u_lower=u_lower,
                 u_upper=u_upper,
+                u_zero_I=u_zero_I,
                 delta_u=delta_u,
                 interpret=not on_tpu,
             )

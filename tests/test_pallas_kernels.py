@@ -183,6 +183,19 @@ def test_fused_dispatch_tolerates_pytree_params():
     assert np.isfinite(np.asarray(r.costs)).all()
 
 
+def test_pallas_riccati_u_zero_mask():
+    """The zero-control equality mode used by the KKT/IFT backward's
+    auxiliary solves (reference lqr_step.py:99-127)."""
+    T, B, nx = 6, 4, 4
+    C, c, F, u = _problem(2, T, B, nx)
+    rng = np.random.RandomState(3)
+    uz = jnp.asarray(rng.rand(T, B, 1) < 0.3)
+    ref = lqr_backward(nx, 1, C, c, F, None, u, u_zero_I=uz, backend="xla")
+    pal = lqr_backward(nx, 1, C, c, F, None, u, u_zero_I=uz, backend="pallas")
+    np.testing.assert_allclose(np.asarray(pal.K), np.asarray(ref.K), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(pal.k), np.asarray(ref.k), atol=2e-6)
+
+
 def test_pallas_riccati_delta_u():
     T, B, nx = 5, 3, 4
     C, c, F, u = _problem(1, T, B, nx)
