@@ -11,9 +11,14 @@ Public API:
     MPC                          reference-compatible class wrapper
     QuadCost, LinDx              problem types
     GradMethod, BackwardMode     enums
-    models.{pendulum,cartpole,rocket,affine,nn_dynamics}
+    receding_horizon             jitted closed-loop episode driver
+    models.{pendulum,cartpole,rocket,affine,nn_dynamics,ctrl_passthrough}
+    parallel.mesh                batch-sharded multi-chip solve
+    il.{env,exp,lstm}            imitation-learning / sysid harness
+    viz                          rendering hooks (lazy matplotlib)
 """
 
+from .control import receding_horizon
 from .core.solver import solve
 from .mpc import MPC
 from .types import (
@@ -30,6 +35,7 @@ __version__ = "0.1.0"
 __all__ = [
     "solve",
     "MPC",
+    "receding_horizon",
     "ILQRConfig",
     "QuadCost",
     "LinDx",
