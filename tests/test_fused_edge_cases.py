@@ -1,0 +1,110 @@
+"""Edge cases of the whole-solve megakernel (interpret mode): per-example
+lanes cost, nu=2 in-kernel pnqp (Cramer solves), degenerate T=1 / B=1, and
+batch padding."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dilqr_tpu.core.solver import solve
+from dilqr_tpu.models import pendulum
+from dilqr_tpu.models.base import Dynamics
+from dilqr_tpu.types import ILQRConfig, QuadCost
+
+F32 = jnp.float32
+
+
+def _compare(cfg, x_init, cost, dyn, params, **kw):
+    r_x = solve(dataclasses.replace(cfg, backend="xla"), x_init, cost, dyn,
+                params=params, **kw)
+    r_p = solve(dataclasses.replace(cfg, backend="pallas"), x_init, cost, dyn,
+                params=params, **kw)
+    np.testing.assert_allclose(np.asarray(r_p.u), np.asarray(r_x.u), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(r_p.costs), np.asarray(r_x.costs), rtol=2e-5, atol=1e-6
+    )
+    return r_x, r_p
+
+
+def _pendulum_problem(B, T, seed=0):
+    dyn = pendulum.make()
+    params = pendulum.default_params()
+    q, p = pendulum.get_true_obj()
+    rng = np.random.RandomState(seed)
+    th = rng.uniform(-2, 2, B).astype(np.float32)
+    x_init = jnp.stack(
+        [jnp.cos(jnp.asarray(th)), jnp.sin(jnp.asarray(th)), jnp.zeros(B)], 1
+    )
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=4, eps=0.0,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    return cfg, x_init, dyn, params, q, p
+
+
+def test_fused_per_example_lanes_cost():
+    """[B,T,n,n] per-example cost forces the lanes (non-SMEM) path."""
+    B, T = 3, 5
+    cfg, x_init, dyn, params, q, p = _pendulum_problem(B, T)
+    rng = np.random.RandomState(1)
+    scale = jnp.asarray(1.0 + 0.5 * rng.rand(B, T, 1).astype(np.float32))
+    C = jnp.broadcast_to(jnp.diag(q), (B, T, 4, 4)) * scale[..., None]
+    c = jnp.broadcast_to(p, (B, T, 4)) * scale
+    _compare(cfg, x_init, QuadCost(C, c), dyn, params,
+             u_lower=dyn.lower, u_upper=dyn.upper)
+
+
+@pytest.mark.parametrize("B,T", [(1, 5), (2, 1), (5, 2)])
+def test_fused_degenerate_shapes(B, T):
+    cfg, x_init, dyn, params, q, p = _pendulum_problem(B, T)
+    _compare(cfg, x_init, QuadCost(jnp.diag(q), p), dyn, params,
+             u_lower=dyn.lower, u_upper=dyn.upper)
+
+
+def _double_pendulum_style():
+    """A synthetic 4-state 2-control env to exercise nu=2 (Cramer path)."""
+    def step(x, u, params):
+        k1, k2, d = params
+        q0, q1, v0, v1 = x[0], x[1], x[2], x[3]
+        u0 = jnp.clip(u[0], -1.5, 1.5)
+        u1 = jnp.clip(u[1], -1.5, 1.5)
+        a0 = -k1 * jnp.sin(q0) - d * v0 + u0 + 0.3 * u1
+        a1 = -k2 * jnp.sin(q1) - d * v1 + u1 - 0.2 * u0
+        dt = 0.05
+        return jnp.stack([q0 + dt * v0, q1 + dt * v1, v0 + dt * a0, v1 + dt * a1])
+
+    def step_unclamped(x, u, params):
+        k1, k2, d = params
+        q0, q1, v0, v1 = x[0], x[1], x[2], x[3]
+        a0 = -k1 * jnp.sin(q0) - d * v0 + u[0] + 0.3 * u[1]
+        a1 = -k2 * jnp.sin(q1) - d * v1 + u[1] - 0.2 * u[0]
+        dt = 0.05
+        return jnp.stack([q0 + dt * v0, q1 + dt * v1, v0 + dt * a0, v1 + dt * a1])
+
+    return Dynamics(
+        n_state=4, n_ctrl=2, step=step, step_unclamped=step_unclamped,
+        lower=-1.5, upper=1.5, linesearch_decay=0.5, max_linesearch_iter=4,
+    )
+
+
+@pytest.mark.parametrize("boxed", [False, True])
+def test_fused_nu2_pnqp(boxed):
+    dyn = _double_pendulum_style()
+    params = jnp.array([2.0, 1.5, 0.1], F32)
+    B, T = 4, 6
+    rng = np.random.RandomState(0)
+    x_init = jnp.asarray(rng.uniform(-1, 1, (B, 4)).astype(np.float32))
+    q = jnp.array([1.0, 1.0, 0.1, 0.1, 1e-3, 1e-3], F32)
+    p = jnp.zeros(6, F32)
+    cfg = ILQRConfig(
+        n_state=4, n_ctrl=2, T=T, lqr_iter=4, eps=0.0,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    kw = dict(u_lower=dyn.lower, u_upper=dyn.upper) if boxed else {}
+    _compare(cfg, x_init, QuadCost(jnp.diag(q), p), dyn, params, **kw)
