@@ -53,3 +53,46 @@ def solve_adjoint_fixed_point(
         return (w[0] - dX, w[1] - dU)
 
     return gmres(A, v, x0=v, tol=tol, restart=restart, maxiter=maxiter)
+
+
+def solve_adjoint_dense(
+    sT_Ff: Callable,
+    lT_xu: Callable,
+    v: Tuple[jax.Array, jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    """Dense fallback: materialize the per-example adjoint fixed-point
+    matrix by probing with D = T*(n_state+n_ctrl) basis vectors and solve
+    directly -- the mechanism of the reference's one-hot probing batch
+    (lqr_step_explicit.py:664-702) and dense solve
+    (lqr_step_explicit.py:544-587), applied to the adjoint system (so the
+    batch is probed D times instead of B*T*d one-hot rows, and no
+    (T d)^3-per-example lstsq of Jacobian blocks is needed).
+
+    O(D) LQR solves per backward vs GMRES's handful; use via
+    cfg.ift_solver="dense" when the fixed-point iteration is
+    ill-conditioned (e.g. a barely-converged forward solve).
+    """
+    gx, gu = v
+    T, B, nx = gx.shape
+    nu = gu.shape[-1]
+    D = T * (nx + nu)
+
+    def apply_flat(wf):
+        """A @ w for one per-example-constant direction wf [D] broadcast
+        over the batch; returns [B, D]."""
+        w = wf.reshape(T, 1, nx + nu)
+        wx = jnp.broadcast_to(w[:, :, :nx], (T, B, nx))
+        wu = jnp.broadcast_to(w[:, :, nx:], (T, B, nu))
+        dF, df = sT_Ff((wx, wu))
+        dX, dU = lT_xu(dF, df)
+        out = jnp.concatenate([wx - dX, wu - dU], axis=-1)  # [T,B,n]
+        return out.transpose(1, 0, 2).reshape(B, D)
+
+    # columns of the per-example matrices: A_mat [B, D, D]
+    cols = jax.lax.map(apply_flat, jnp.eye(D, dtype=gx.dtype))  # [D, B, D]
+    A_mat = cols.transpose(1, 2, 0)  # [B, row, col]
+
+    rhs = jnp.concatenate([gx, gu], axis=-1).transpose(1, 0, 2).reshape(B, D)
+    w = jnp.linalg.solve(A_mat, rhs[..., None])[..., 0]  # [B, D]
+    w = w.reshape(B, T, nx + nu).transpose(1, 0, 2)
+    return (w[..., :nx], w[..., nx:])

@@ -27,7 +27,7 @@ from ..core.ilqr import ilqr_loop
 from ..core.linearize import approximate_cost, linearize_dynamics
 from ..models.base import Dynamics
 from ..types import BackwardMode, ILQRConfig, LinDx, QuadCost
-from .ift import solve_adjoint_fixed_point
+from .ift import solve_adjoint_dense, solve_adjoint_fixed_point
 from .kkt import kkt_vjp
 
 ACTIVE_TOL = 1e-8  # reference lqr_step.py:325-326
@@ -213,14 +213,17 @@ def solve_with_grad(
                 dX, dU, _ = lin_pullback((dF, df))
                 return dX, dU
 
-            w = solve_adjoint_fixed_point(
-                sT_Ff,
-                lT_xu,
-                (g_x, g_u),
-                tol=cfg.ift_tol,
-                restart=cfg.ift_restart,
-                maxiter=cfg.ift_maxiter,
-            )
+            if cfg.ift_solver == "dense":
+                w = solve_adjoint_dense(sT_Ff, lT_xu, (g_x, g_u))
+            else:
+                w = solve_adjoint_fixed_point(
+                    sT_Ff,
+                    lT_xu,
+                    (g_x, g_u),
+                    tol=cfg.ift_tol,
+                    restart=cfg.ift_restart,
+                    maxiter=cfg.ift_maxiter,
+                )
             kg = sT(w)
         else:
             kg = sT((g_x, g_u))

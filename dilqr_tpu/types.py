@@ -140,6 +140,11 @@ class ILQRConfig:
     ift_tol: float = 1e-4
     ift_restart: int = 10
     ift_maxiter: int = 2
+    # "gmres" (matrix-free, default) or "dense" -- materialize the adjoint
+    # fixed-point system by probing (the reference's mechanism,
+    # lqr_step_explicit.py:664-702); O(T*(nx+nu)) LQR solves per backward,
+    # exact, for ill-conditioned fixed points.
+    ift_solver: str = "gmres"
 
     @property
     def n_tau(self) -> int:

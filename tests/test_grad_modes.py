@@ -98,3 +98,26 @@ def test_kkt_runs_and_is_finite():
     )
     for a in g:
         assert np.isfinite(np.asarray(a)).all()
+
+
+def test_dense_ift_matches_gmres():
+    """cfg.ift_solver="dense" materializes the adjoint system by probing
+    (the reference's mechanism, lqr_step_explicit.py:664-702); it must
+    agree with the matrix-free GMRES solve."""
+    dyn, params, x_init, q, p, wx, wu, cfg = _setup(T=6)
+    C = jnp.diag(q)
+    c = p
+    cfg_g = dataclasses.replace(cfg, backward_mode=BackwardMode.IFT)
+    cfg_d = dataclasses.replace(
+        cfg, backward_mode=BackwardMode.IFT, ift_solver="dense"
+    )
+    g_g = jax.grad(_loss_fn(cfg_g, dyn, x_init, wx, wu), argnums=(0, 1, 2))(
+        params, C, c
+    )
+    g_d = jax.grad(_loss_fn(cfg_d, dyn, x_init, wx, wu), argnums=(0, 1, 2))(
+        params, C, c
+    )
+    for a, b, n in zip(g_d, g_g, ["dtheta", "dC", "dc"]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, np.abs(b).max())
+        assert np.abs(a - b).max() / scale <= 1e-4, n
