@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..utils.batch import bger, bmm, bmv, btr, clamp
+from ..utils.batch import bger, bmm, bmv, btr, clamp, solve_psd
 from .pnqp import pnqp
 
 
@@ -48,7 +48,7 @@ def _unconstrained_gains(n_ctrl, Quu, Qux, qu):
         Kt = -Qux / Quu
         kt = -qu / Quu[..., 0]
     else:
-        sol = jnp.linalg.solve(Quu, jnp.concatenate([Qux, qu[..., None]], -1))
+        sol = solve_psd(Quu, jnp.concatenate([Qux, qu[..., None]], -1))
         Kt = -sol[..., :-1]
         kt = -sol[..., -1]
     return Kt, kt
@@ -68,7 +68,7 @@ def _zero_constrained_gains(n_ctrl, Quu, Qux, qu, I_t):
         Kt = -Qux_ / Quu_
         kt = -qu_ / Quu[..., 0]
     else:
-        sol = jnp.linalg.solve(Quu_, jnp.concatenate([Qux_, qu_[..., None]], -1))
+        sol = solve_psd(Quu_, jnp.concatenate([Qux_, qu_[..., None]], -1))
         Kt = -sol[..., :-1]
         kt = -sol[..., -1]
     return Kt, kt
@@ -201,7 +201,7 @@ def lqr_backward(
             if nu == 1:
                 default_init = -qu / Quu[..., 0]
             else:
-                sol = jnp.linalg.solve(Quu, qu[..., None])
+                sol = solve_psd(Quu, qu[..., None])
                 default_init = -sol[..., 0]
             x_init = jnp.where(has_prev, prev_k, clamp(default_init, lb, ub))
             # NB: pnqp re-clamps x_init to the bounds internally.
@@ -216,7 +216,7 @@ def lqr_backward(
             if nu == 1:
                 Kt = -Qux_ / res.H_free
             else:
-                Kt = -jnp.linalg.solve(res.H_free, Qux_)
+                Kt = -solve_psd(res.H_free, Qux_)
             prev_k = kt
             has_prev = jnp.asarray(True)
 
