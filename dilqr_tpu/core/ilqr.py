@@ -99,6 +99,7 @@ def lqr_step(
         # Pallas kernels have no autodiff rules; the unrolled-autodiff
         # oracle must stay on the pure-XLA path
         backend="xla" if cfg.unroll else cfg.backend,
+        parallel=cfg.riccati_parallel,
     )
     dyn_roll = dyn if isinstance(dyn, LinDx) else (dyn.step, params)
     new_x, new_u, out = lqr_forward(

@@ -90,6 +90,7 @@ def lqr_backward(
     unroll: bool = False,
     qp_solver: str = "auto",
     backend: str = "auto",
+    parallel: bool = False,
 ) -> RiccatiResult:
     """Reverse-time Riccati scan. See module docstring for shapes.
 
@@ -103,6 +104,14 @@ def lqr_backward(
     T, B = C.shape[0], C.shape[1]
     nx, nu = n_state, n_ctrl
     boxed = u_lower is not None
+
+    if parallel and not boxed and u_zero_I is None:
+        # associative-scan Riccati: O(log T) depth, exact for the
+        # unconstrained recursion (ops/parallel_riccati.py)
+        from .parallel_riccati import plqr_backward
+
+        K, k = plqr_backward(nx, nu, C, c, F, f)
+        return RiccatiResult(K, k, jnp.int32(0))
 
     if backend != "xla" and f is None:
         # NB the fused kernel implements the delta-space form (f folds into

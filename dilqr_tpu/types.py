@@ -145,6 +145,10 @@ class ILQRConfig:
     # lqr_step_explicit.py:664-702); O(T*(nx+nu)) LQR solves per backward,
     # exact, for ill-conditioned fixed points.
     ift_solver: str = "gmres"
+    # Use the associative-scan Riccati (ops/parallel_riccati.py, O(log T)
+    # depth) for UNCONSTRAINED backward passes -- a large-T / small-B
+    # option; box/zero-masked solves always use the sequential recursion.
+    riccati_parallel: bool = False
 
     @property
     def n_tau(self) -> int:
