@@ -53,7 +53,7 @@ def receding_horizon(
     plant_params = env_params if env_params is not None else params
 
     def step(carry, _):
-        x, u_ws = carry
+        x, u_ws, prev_a = carry
         res = solve(
             cfg,
             x,
@@ -63,15 +63,19 @@ def receding_horizon(
             u_init=u_ws,
             u_lower=u_lower,
             u_upper=u_upper,
+            # the previously applied action anchors the slew-rate penalty's
+            # t=0 term (reference mpc.py:101, prev_ctrl); inert otherwise
+            prev_ctrl=prev_a,
         )
         a = res.u[:, 0]
         u_next = jnp.concatenate([res.u[:, 1:], res.u[:, -1:]], axis=1)
         x_next = jax.vmap(lambda xi, ai: plant(xi, ai, plant_params))(x, a)
-        return (x_next, u_next), (x, a, res.costs)
+        return (x_next, u_next, a), (x, a, res.costs)
 
     u_ws0 = jnp.zeros((B, T, nu), x_init.dtype)
-    (x_last, _), (xs, us, costs) = lax.scan(
-        step, (x_init, u_ws0), None, length=n_steps
+    a0 = jnp.zeros((B, nu), x_init.dtype)
+    (x_last, _, _), (xs, us, costs) = lax.scan(
+        step, (x_init, u_ws0, a0), None, length=n_steps
     )
     xs = jnp.concatenate([xs, x_last[None]], axis=0)
     return EpisodeResult(

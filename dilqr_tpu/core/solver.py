@@ -189,6 +189,10 @@ def solve(
         raise ValueError(
             f"x_init must be [n_batch, n_state={nx}], got {x_init.shape}"
         )
+    if (u_lower is None) != (u_upper is None):
+        # both-or-neither, as the reference asserts (mpc.py:156); one-sided
+        # boxes would otherwise diverge between backends
+        raise ValueError("u_lower and u_upper must both be set or both None")
 
     # the whole solve runs in x_init's dtype (the reference type_as-es
     # everything to x_init, mpc.py:231,236)

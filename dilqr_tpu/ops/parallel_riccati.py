@@ -56,7 +56,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..utils.batch import bmm, bmv, btr, solve_psd
+from ..utils.batch import bmm, bmv, btr, inv_small, solve_psd
 
 
 class PLQRResult(NamedTuple):
@@ -64,6 +64,18 @@ class PLQRResult(NamedTuple):
     k: jax.Array  # [T, B, nu]
     x: jax.Array  # [T, B, nx]
     u: jax.Array  # [T, B, nu]
+
+
+def _pad_dynamics(T, B, nx, nu, F, f, dtype):
+    """Zero-slab padding of (F, f) at t = T-1 (the terminal step has no
+    dynamics; zero A/S/d make the element inert)."""
+    Fz = jnp.zeros((1, B, nx, nx + nu), dtype)
+    F_pad = Fz if F is None else jnp.concatenate([F, Fz], 0)
+    fz = jnp.zeros((T, B, nx), dtype)
+    f_pad = fz if f is None else jnp.concatenate(
+        [f, jnp.zeros((1, B, nx), dtype)], 0
+    )
+    return F_pad, f_pad
 
 
 def _eliminated_steps(n_state, n_ctrl, C, c, F, f):
@@ -84,12 +96,7 @@ def _eliminated_steps(n_state, n_ctrl, C, c, F, f):
     Q = Cxx - bmm(Cxu, RiCxuT)
     l = cx - bmv(Cxu, Ricu)
 
-    Fz = jnp.zeros((1, B, nx, nx + nu), dtype)
-    F_pad = Fz if F is None else jnp.concatenate([F, Fz], 0)
-    fz = jnp.zeros((T, B, nx), dtype)
-    f_pad = fz if f is None else jnp.concatenate(
-        [f, jnp.zeros((1, B, nx), dtype)], 0
-    )
+    F_pad, f_pad = _pad_dynamics(T, B, nx, nu, F, f, dtype)
     Fx = F_pad[..., :nx]
     Fu = F_pad[..., nx:]
 
@@ -102,23 +109,40 @@ def _eliminated_steps(n_state, n_ctrl, C, c, F, f):
 
 
 def _combine(e1, e2):
-    """e1 earlier in time, e2 = accumulated future segment."""
+    """e1 earlier in time, e2 = accumulated future segment.
+
+    The combine requires (I + S1 Q2) invertible -- mildly stronger than the
+    sequential recursion's Quu > 0 (an indefinite segment cost from a
+    quadraticized nonconvex module cost can defeat it); see the
+    riccati_parallel knob docs. n <= 3 uses the closed-form inverse (one
+    adjugate reused for all four applications; also the only path that
+    works for f64 on TPU, where batched LuDecomposition is f32-only)."""
     A1, S1, Q1, d1, l1 = e1
     A2, S2, Q2, d2, l2 = e2
     n = A1.shape[-1]
     eye = jnp.eye(n, dtype=A1.dtype)
-    # E = (I + S1 Q2)^{-1}; computed via a (well-conditioned) solve
+    # E = (I + S1 Q2)^{-1}
     M = eye + bmm(S1, Q2)
-    E_A1 = jnp.linalg.solve(M, A1)
-    E_S1 = jnp.linalg.solve(M, S1)
-    E_dSl = jnp.linalg.solve(M, (d1 - bmv(S1, l2))[..., None])[..., 0]
+    z = bmv(Q2, d1) + l2
+    if n <= 3:
+        Minv = inv_small(M)
+        E_A1 = bmm(Minv, A1)
+        E_S1 = bmm(Minv, S1)
+        E_dSl = bmv(Minv, d1 - bmv(S1, l2))
+        ETz = bmv(btr(Minv), z)
+    else:
+        rhs = jnp.concatenate(
+            [A1, S1, (d1 - bmv(S1, l2))[..., None]], axis=-1
+        )
+        sol = jnp.linalg.solve(M, rhs)  # one factorization, 2n+1 rhs
+        E_A1 = sol[..., :n]
+        E_S1 = sol[..., n:2 * n]
+        E_dSl = sol[..., -1]
+        ETz = jnp.linalg.solve(btr(M), z[..., None])[..., 0]
     A12 = bmm(A2, E_A1)
     S12 = S2 + bmm(A2, bmm(E_S1, btr(A2)))
     Q12 = Q1 + bmm(btr(A1), bmm(Q2, E_A1))
     d12 = bmv(A2, E_dSl) + d2
-    # l12 = l1 + A1^T E^T (Q2 d1 + l2); E^T z solved via M^T
-    z = bmv(Q2, d1) + l2
-    ETz = jnp.linalg.solve(btr(M), z[..., None])[..., 0]
     l12 = l1 + bmv(btr(A1), ETz)
     return (A12, S12, Q12, d12, l12)
 
@@ -154,12 +178,7 @@ def plqr_backward(
 
     # per-timestep gains from (V_{t+1}, v_{t+1}) and the ORIGINAL step data
     # (reference lqr_step.py:61-94)
-    Fz = jnp.zeros((1, B, nx, nx + nu), dtype)
-    F_pad = Fz if F is None else jnp.concatenate([F, Fz], 0)
-    fz = jnp.zeros((T, B, nx), dtype)
-    f_pad = fz if f is None else jnp.concatenate(
-        [f, jnp.zeros((1, B, nx), dtype)], 0
-    )
+    F_pad, f_pad = _pad_dynamics(T, B, nx, nu, F, f, dtype)
     FT = btr(F_pad)
     Qt = C + bmm(FT, bmm(V_next, F_pad))
     qt = c + bmv(FT, bmv(V_next, f_pad) + v_next)
@@ -185,12 +204,7 @@ def plqr_rollout(
     nu = K.shape[2]
     dtype = x_init.dtype
 
-    Fz = jnp.zeros((1, B, nx, nx + nu), dtype)
-    F_pad = Fz if F is None else jnp.concatenate([F, Fz], 0)
-    fz = jnp.zeros((T, B, nx), dtype)
-    f_pad = fz if f is None else jnp.concatenate(
-        [f, jnp.zeros((1, B, nx), dtype)], 0
-    )
+    F_pad, f_pad = _pad_dynamics(T, B, nx, nu, F, f, dtype)
     Fx = F_pad[..., :nx]
     Fu = F_pad[..., nx:]
 

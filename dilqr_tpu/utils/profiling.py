@@ -36,7 +36,7 @@ def timeit(fn: Callable, *args, n: int = 20, warmup: int = 1):
     sync once) -- the measurement bench.py uses; per-call sync would
     measure the host<->device round-trip instead."""
     f = jax.jit(fn) if not hasattr(fn, "lower") else fn
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):  # always compile before timing
         out = f(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()

@@ -26,7 +26,7 @@ def _problem(T, B, nx, nu, seed=0, dtype=jnp.float64):
     return C, c, F, f, x0
 
 
-@pytest.mark.parametrize("shape", [(6, 3, 4, 1), (32, 2, 3, 2), (256, 1, 4, 2)])
+@pytest.mark.parametrize("shape", [(6, 3, 4, 1), (32, 2, 3, 2), (512, 1, 4, 2)])
 def test_parallel_matches_sequential_f64(shape):
     T, B, nx, nu = shape
     C, c, F, f, x0 = _problem(T, B, nx, nu)
@@ -50,3 +50,40 @@ def test_parallel_f32_long_horizon():
     K, k = plqr_backward(nx, nu, C, c, F, f)
     np.testing.assert_allclose(np.asarray(K), np.asarray(ref.K), atol=5e-4)
     np.testing.assert_allclose(np.asarray(k), np.asarray(ref.k), atol=5e-4)
+
+
+def test_riccati_parallel_solve_end_to_end():
+    """cfg.riccati_parallel=True through the full solve (the lqr_step
+    dispatch, delta-space shift, and line search) must match sequential."""
+    import dataclasses
+
+    from dilqr_tpu.core.solver import solve
+    from dilqr_tpu.models import pendulum
+    from dilqr_tpu.types import ILQRConfig, QuadCost
+
+    dyn = pendulum.make()
+    params = pendulum.default_params().astype(jnp.float64)
+    q, p = pendulum.get_true_obj()
+    B, T = 3, 10
+    rng = np.random.RandomState(0)
+    th = rng.uniform(-1.5, 1.5, B)
+    x0 = jnp.stack(
+        [jnp.cos(jnp.asarray(th)), jnp.sin(jnp.asarray(th)), jnp.zeros(B)], 1
+    )
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=8, eps=0.0,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+        backend="xla",  # unconstrained sequential reference
+    )
+    # NB unconstrained (the parallel path requires no box)
+    r_seq = solve(cfg, x0, QuadCost(jnp.diag(q), p), dyn, params=params)
+    r_par = solve(
+        dataclasses.replace(cfg, riccati_parallel=True),
+        x0, QuadCost(jnp.diag(q), p), dyn, params=params,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_par.u), np.asarray(r_seq.u), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_par.costs), np.asarray(r_seq.costs), atol=1e-10
+    )
