@@ -51,6 +51,7 @@ def lqr_solve_linear(
     F: jax.Array,
     r: jax.Array,
     u_zero_I: Optional[jax.Array] = None,
+    backend: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """Solve the auxiliary LQR: argmin sum 0.5 d tau^T C d tau - r^T d tau
     s.t. d x_{t+1} = F_t d tau_t, d x_0 = 0, d u = 0 on u_zero_I.
@@ -69,6 +70,7 @@ def lqr_solve_linear(
         None,
         u=jnp.zeros((T, B, nu), C.dtype),
         u_zero_I=u_zero_I,
+        backend=backend,
     )
 
     F_pad = jnp.concatenate([F, jnp.zeros_like(F[:1])], axis=0)
@@ -132,6 +134,7 @@ def kkt_vjp(
     g_u: jax.Array,
     u_zero_I: Optional[jax.Array] = None,
     with_f: bool = True,
+    backend: str = "auto",
 ) -> KKTGrads:
     """Full module-KKT VJP (reference lqr_step.py:311-407).
 
@@ -141,7 +144,7 @@ def kkt_vjp(
     caller). Linear in (g_x, g_u).
     """
     r = jnp.concatenate([g_x, g_u], axis=-1)
-    dx, du = lqr_solve_linear(n_state, n_ctrl, C, F, r, u_zero_I)
+    dx, du = lqr_solve_linear(n_state, n_ctrl, C, F, r, u_zero_I, backend=backend)
 
     dtau = jnp.concatenate([dx, du], axis=-1)
     tau = jnp.concatenate([x, u], axis=-1)

@@ -200,7 +200,8 @@ def solve_with_grad(
 
         def sT(w):
             return kkt_vjp(
-                nx, nu, C, c, F, x, u, w[0], w[1], u_zero_I=I, with_f=True
+                nx, nu, C, c, F, x, u, w[0], w[1], u_zero_I=I, with_f=True,
+                backend=cfg.backend,
             )
 
         if cfg.backward_mode is BackwardMode.IFT and not lin:
