@@ -67,20 +67,22 @@ PNQP_CONV = 1e-4
 PNQP_ARMIJO_ITER = 10
 
 
-def _scratch_bytes(cfg: ILQRConfig) -> int:
-    """Approximate per-tile VMEM scratch footprint (f32 lanes tiles).
-    F_t and c_back are recomputed at their use site inside the Riccati
-    step, so the scratch holds only the trajectory, gains, and trackers."""
+def _vmem_bytes(cfg: ILQRConfig) -> int:
+    """Approximate per-tile VMEM footprint (f32 lanes tiles): declared
+    scratch (F_t/c_back recomputed at use site, trials cost-only, so only
+    trajectory, gains, and trackers persist) plus the Riccati step's live
+    temporaries (Q, tmp, F, V and spill margin), which scale with n^2 --
+    calibrated against a measured Mosaic allocation of 17.5 MB for the
+    rocket at T=40 (10.25 MB scratch + ~7 MB temporaries)."""
     T, nx, nu = cfg.T, cfg.n_state, cfg.n_ctrl
-    per_t = 3 * nu + 2 * nx + nu * nx  # u,k,nut + x,nxt + K
-    tiles = T * per_t + nx * nx + nx + 1
-    return tiles * BT * 4
+    n = nx + nu
+    per_t = 2 * nu + nx + nu * nx  # u, k, x, K (trials are cost-only)
+    scratch = T * per_t + nx * nx + nx + 1
+    temps = 2 * (n * n + 2 * nx * n + nx * nx)
+    return (scratch + temps) * BT * 4
 
 
-# conservative cap: live temporaries (Q, V, Jacobian probes), the
-# double-buffered in/out blocks, and the Mosaic stack share the ~16 MB of
-# VMEM with the scratch
-VMEM_SCRATCH_LIMIT = 7 * 1024 * 1024
+VMEM_SCRATCH_LIMIT = 15 * 1024 * 1024  # of the 16 MB/core
 
 
 def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
@@ -98,7 +100,7 @@ def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
         and dyn.jacobian is None
         and dtype == jnp.float32
         and _is_flat_params(params)
-        and _scratch_bytes(cfg) <= VMEM_SCRATCH_LIMIT
+        and _vmem_bytes(cfg) <= VMEM_SCRATCH_LIMIT
     )
 
 
@@ -296,8 +298,6 @@ def _ilqr_kernel(
     k_ref = next(it_r)
     V_ref = next(it_r)
     v_ref = next(it_r)
-    nxt_ref = next(it_r)
-    nut_ref = next(it_r)
     cc_ref = next(it_r)
     flags_ref = next(it_r)
 
@@ -468,18 +468,25 @@ def _ilqr_kernel(
             lax.fori_loop(0, T, ric_body, 0)
 
             # ---- 5) batched backtracking line search ----
+            # trials are COST-ONLY (no trajectory storage); the accepted
+            # trial is reconstructed once at the end, overwriting x/u in
+            # place -- position t is only read before it is written, and
+            # later steps read positions > t, so no trial buffers are
+            # needed (a (nx+nu) VMEM tile per timestep saved)
+            def trial_step(t, xt, alpha):
+                dxt = xt - x_ref[t]
+                new_u = _mv(K_ref[t], dxt) + u_ref[t] \
+                    + alpha[None] * k_ref[t]
+                new_u = jnp.clip(new_u, lb_at(t), ub_at(t))
+                return new_u
+
             def trial(alpha, record_du):
                 def tbody(t, carry):
                     xt, cost, du2 = carry
-                    dxt = xt - x_ref[t]
-                    new_u = _mv(K_ref[t], dxt) + u_ref[t] \
-                        + alpha[None] * k_ref[t]
-                    new_u = jnp.clip(new_u, lb_at(t), ub_at(t))
+                    new_u = trial_step(t, xt, alpha)
                     if record_du:
                         d = u_ref[t] - new_u
                         du2 = du2 + (d * d).sum(0)
-                    nxt_ref[t] = xt
-                    nut_ref[t] = new_u
                     cost = cost + obj_t(t, xt, new_u)
                     return step(xt, new_u), cost, du2
 
@@ -493,25 +500,40 @@ def _ilqr_kernel(
             cur_du = jnp.sqrt(du2)
             alpha0 = jnp.where(cc0 > old_cost, ls_decay, 1.0)
 
-            def ls_body(i, alpha):
-                @pl.when(jnp.any(cc_ref[...] > old_cost))
+            def ls_body(i, carry):
+                alpha, alpha_used = carry
+                active = jnp.any(cc_ref[...] > old_cost)
+
+                @pl.when(active)
                 def _():
                     cc, _ = trial(alpha, record_du=False)
                     cc_ref[...] = cc
-                return jnp.where(cc_ref[...] > old_cost, alpha * ls_decay,
-                                 alpha)
 
-            lax.fori_loop(1, max_ls_iter, ls_body, alpha0)
+                alpha_used = jnp.where(active, alpha, alpha_used)
+                alpha = jnp.where(cc_ref[...] > old_cost, alpha * ls_decay,
+                                  alpha)
+                return alpha, alpha_used
+
+            _, alpha_used = lax.fori_loop(
+                1, max_ls_iter, ls_body, (alpha0, ones)
+            )
             cc = cc_ref[...]
 
-            # accept the last trial (lqr_step.py:247 semantics)
-            u_ref[...] = nut_ref[...]
-
-            # ---- 6) best tracking + stopping rule (mpc.py:266-301) ----
+            # ---- accept the last executed trial (lqr_step.py:247) and
+            # fold in best tracking (mpc.py:266-301) in one pass ----
             improved = cc <= bc_ref[...] + best_cost_eps
             impx = improved[None, None]
-            bx_ref[...] = jnp.where(impx, nxt_ref[...], bx_ref[...])
-            bu_ref[...] = jnp.where(impx, nut_ref[...], bu_ref[...])
+
+            def accept(t, xt):
+                new_u = trial_step(t, xt, alpha_used)
+                x_ref[t] = xt
+                u_ref[t] = new_u
+                bx_ref[t] = jnp.where(impx[0], xt, bx_ref[t])
+                bu_ref[t] = jnp.where(impx[0], new_u, bu_ref[t])
+                return step(xt, new_u)
+
+            lax.fori_loop(0, T, accept, x_init)
+
             bc_ref[...] = jnp.where(improved, cc, bc_ref[...])
             bdu_ref[...] = jnp.where(improved, cur_du, bdu_ref[...])
 
@@ -638,8 +660,6 @@ def ilqr_fused(
                 pltpu.VMEM((T, nu, 8, 128), f32),      # k
                 pltpu.VMEM((nx, nx, 8, 128), f32),     # V
                 pltpu.VMEM((nx, 8, 128), f32),         # v
-                pltpu.VMEM((T, nx, 8, 128), f32),      # nxt
-                pltpu.VMEM((T, nu, 8, 128), f32),      # nut
                 pltpu.VMEM((8, 128), f32),             # cc
                 pltpu.SMEM((4,), jnp.int32),           # flags
             ],
@@ -670,8 +690,9 @@ def _squeeze_io(kernel, cost_mode):
         else:
             out.append(LaneView(refs[i])); i += 1  # C lanes
             out.append(LaneView(refs[i])); i += 1  # c lanes
-        # remaining tensor refs (u0?, lb, ub, 5 outputs) are lane tensors
-        n_tensor = len(refs) - i - 10
+        # remaining tensor refs (u0?, lb?, ub?, 5 outputs) are lane tensors;
+        # the trailing 8 are scratch (u, x, K, k, V, v, cc, flags)
+        n_tensor = len(refs) - i - 8
         for _ in range(n_tensor):
             out.append(LaneView(refs[i])); i += 1
         out.extend(refs[i:])
