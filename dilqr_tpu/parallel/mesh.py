@@ -27,6 +27,9 @@ from ..core.solver import solve
 from ..types import ILQRConfig, LinDx, QuadCost, SolveResult
 
 
+_SOLVE_CACHE: dict = {}
+
+
 def batch_mesh(devices=None, axis_name: str = "batch") -> Mesh:
     """A 1-D mesh over all (or the given) devices."""
     devices = np.asarray(devices if devices is not None else jax.devices())
@@ -83,16 +86,27 @@ def sharded_solve(
         params = jax.device_put(params, rep)
 
     # Dynamics objects and callable costs are static (hashable bundles of
-    # pure functions); only array pytrees go through jit's arguments.
-    @jax.jit
-    def fn(x_init, cost_arrays, dyn_arrays, params):
-        c = QuadCost(*cost_arrays) if quad else cost
-        d = LinDx(*dyn_arrays) if lin else dynamics
-        return solve(cfg, x_init, c, d, params=params, **kwargs)
+    # pure functions); only array pytrees go through jit's arguments. The
+    # compiled function is cached so repeated sharded_solve calls with the
+    # same (cfg, cost/dynamics structure, kwargs) reuse the executable.
+    key = (cfg, quad, lin, None if quad else cost,
+           None if lin else dynamics, tuple(sorted(kwargs)))
+    fn = _SOLVE_CACHE.get(key)
+    if fn is None:
+
+        @jax.jit
+        def fn(x_init, cost_arrays, dyn_arrays, params, kw_arrays):
+            c = QuadCost(*cost_arrays) if quad else cost
+            d = LinDx(*dyn_arrays) if lin else dynamics
+            kw = dict(zip(sorted(kwargs), kw_arrays))
+            return solve(cfg, x_init, c, d, params=params, **kw)
+
+        _SOLVE_CACHE[key] = fn
 
     return fn(
         x_init,
         tuple(cost) if quad else (),
         tuple(dynamics) if lin else (),
         params,
+        tuple(kwargs[k] for k in sorted(kwargs)),
     )
