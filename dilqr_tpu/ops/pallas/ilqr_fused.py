@@ -306,9 +306,22 @@ def _ilqr_kernel(
         cvec = lambda t: c_ref[t]                     # [n,8,128]
     else:
         per_t = Cs_ref.shape[0] > 1
+        diag = cost_mode == "diag"
 
         def Cmat(t):
             ti = t if per_t else 0
+            if diag:
+                # off-diagonals are literal zeros -- Mosaic/XLA fold the
+                # multiplies/adds they feed, so a diagonal cost (the common
+                # get_true_obj spec) costs O(n) not O(n^2) per use
+                return jnp.stack([
+                    jnp.stack([
+                        jnp.broadcast_to(Cs_ref[ti, i], (8, 128))
+                        if i == j else jnp.zeros((8, 128), f32)
+                        for j in range(n)
+                    ])
+                    for i in range(n)
+                ])
             return jnp.stack([
                 jnp.stack([
                     jnp.broadcast_to(Cs_ref[ti, i * n + j], (8, 128))
@@ -581,13 +594,31 @@ def ilqr_fused(
         Cs, cs = cost_small
         Cs = jnp.asarray(Cs, f32)
         cs = jnp.asarray(cs, f32)
+
+        def _concrete_diag(M):
+            # concrete (non-traced) and zero off the diagonal
+            if isinstance(M, jax.core.Tracer):
+                return False
+            import numpy as np
+
+            Mn = np.asarray(M)
+            return bool(np.all(Mn == Mn * np.eye(Mn.shape[-1], dtype=Mn.dtype)))
+
         if Cs.ndim == 2 and cs.ndim == 1:
-            cost_mode = "smem"
-            Cs_in = Cs.reshape(1, n * n)
+            if _concrete_diag(Cs):
+                cost_mode = "diag"
+                Cs_in = jnp.diagonal(Cs).reshape(1, n)
+            else:
+                cost_mode = "smem"
+                Cs_in = Cs.reshape(1, n * n)
             cs_in = cs.reshape(1, n)
         elif Cs.ndim == 3 and cs.ndim == 2 and Cs.shape[0] == T:
-            cost_mode = "smem"
-            Cs_in = Cs.reshape(T, n * n)
+            if _concrete_diag(Cs):
+                cost_mode = "diag"
+                Cs_in = jnp.diagonal(Cs, axis1=-2, axis2=-1).reshape(T, n)
+            else:
+                cost_mode = "smem"
+                Cs_in = Cs.reshape(T, n * n)
             cs_in = cs.reshape(T, n)
 
     if cost_mode == "lanes":
@@ -678,7 +709,7 @@ def ilqr_fused(
 def _squeeze_io(kernel, cost_mode):
     """Wrap lane-tensor refs in LaneView (SMEM refs and the trailing 10
     scratch refs pass through untouched)."""
-    n_smem_cost = 2 if cost_mode == "smem" else 0
+    n_smem_cost = 2 if cost_mode in ("smem", "diag") else 0
 
     def wrapped(*refs):
         out = [refs[0]]  # params SMEM
