@@ -265,6 +265,9 @@ class ILExp:
 
             if best_val is None or val_loss < best_val:
                 best_val = val_loss
+                # the reference pickles the whole experiment, implicitly
+                # including its persistent warm starts (il_exp.py:424-429);
+                # save them so a restore resumes identically
                 ckpt.save(
                     os.path.join(self.save, "best.ckpt"),
                     dict(
@@ -272,12 +275,23 @@ class ILExp:
                         opt_state=self.opt_state,
                         epoch=epoch,
                         val_loss=val_loss,
+                        warmstart=ws,
                     ),
                 )
         for f in (train_f, vt_f, dx_f, cost_f):
             if f is not None:
                 f.close()
         return best_val
+
+    def restore(self, path: Optional[str] = None):
+        """Load a best.ckpt (params + optimizer state; warm starts are
+        returned for the caller's training loop). Reference equivalent:
+        un-pickling the saved experiment (il_exp.py:424-429)."""
+        path = path or os.path.join(self.save, "best.ckpt")
+        state = ckpt.load(path)
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        return state
 
     @staticmethod
     def from_cli(argv=None) -> "ILExp":
