@@ -121,6 +121,10 @@ class ILQRConfig:
     # u_zero_I/delta_u; see ops/pallas/ilqr_fused.fused_supported -- and
     # falls back to the pure-XLA lax.scan path otherwise. "pallas" forces
     # the kernels (interpret-mode off TPU -- tests); "xla" disables them.
+    # "stream" additionally enables the EXPERIMENTAL time-blocked streaming
+    # kernels for horizons past the megakernel's VMEM budget (see
+    # ops/pallas/lqr_stream.py -- loses to the XLA scan on runtimes with
+    # ~1 ms kernel-launch overhead, like this container's tunneled TPU).
     backend: str = "auto"
     # Use a differentiable fixed-trip-count outer loop (lax.scan with masks)
     # instead of lax.while_loop. Required for BackwardMode.UNROLL; the
