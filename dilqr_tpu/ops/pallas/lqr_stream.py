@@ -378,6 +378,7 @@ def ilqr_stream(
     # x_init rides in the t=0 slab of the x stream for the initial rollout
     u0 = jnp.zeros((T, B, nu), f32) if u_init is None else u_init.astype(f32)
     u_l = to_lanes(pad_batch(u0, B, Bp), T, Bp)
+    x_init = x_init.astype(f32)  # the stream kernels are f32-only
     xi_l = to_lanes(
         pad_batch(jnp.broadcast_to(x_init[None], (T, B, nx)), B, Bp), T, Bp
     )
@@ -406,7 +407,11 @@ def ilqr_stream(
 
         ones = jnp.ones((G, 8, 128), f32)
         cc0, du0 = fwd(ones, x_l, u_l, K_l, k_l, write_xu=False)
-        alpha0 = jnp.where(cc0 > old_cost, cfg.linesearch_decay, 1.0)
+        # pin the branch dtypes: under jax_enable_x64 weak python floats
+        # would promote alpha to f64 (the kernels are f32)
+        alpha0 = jnp.where(
+            cc0 > old_cost, f32(cfg.linesearch_decay), f32(1.0)
+        )
 
         def ls_cond(c):
             _, cc, _, j = c
