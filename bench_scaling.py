@@ -86,8 +86,8 @@ def main():
     compiled = jitted.lower(jax.device_put(x0, sh)).compile()
     hlo = compiled.as_text()
     colls = re.findall(
-        r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
-        r"[^\n]*", hlo
+        r"(?:all-reduce|all-gather|reduce-scatter|collective-permute"
+        r"|all-to-all)[^\n]*", hlo
     )
     big = [c for c in colls if re.search(r"f32\[\d{3,}", c)]
     print(f"devices={n_dev}  B={B}")

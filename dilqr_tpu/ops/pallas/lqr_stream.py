@@ -215,12 +215,14 @@ def _riccati_kernel(T, nx, nu, n_params, pnqp_iter, bounds, lin_step,
     _sq_set(k_ref, kt)
 
 
-def _forward_kernel(T, nx, nu, n_params, bounds, step, write_xu,
+def _forward_kernel(T, nx, nu, n_params, bounds, step, write_xu, do_clip,
                     params_ref, qd_ref, pd_ref, alpha_ref,
                     x_ref, u_ref, K_ref, k_ref, *refs):
     """Grid (G, T), t ascending; closed-loop state/cost/du2 in scratch.
     write_xu: also stream the new (x, u) out (accept pass; with zero gains
-    and alpha = 0 it is the open-loop rollout)."""
+    and alpha = 0 it is the open-loop rollout). do_clip=False for that
+    initial rollout: like the XLA get_traj, the warm-start ITERATE is not
+    clipped (the env step clamps u internally for the physics)."""
     n = nx + nu
     f32 = jnp.float32
     i = pl.program_id(1)
@@ -246,7 +248,8 @@ def _forward_kernel(T, nx, nu, n_params, bounds, step, write_xu,
     alpha = alpha_ref[0]
 
     new_u = _mv(_sq(K_ref), xt - x_prev) + u_prev + alpha[None] * _sq(k_ref)
-    new_u = jnp.clip(new_u, lb_c, ub_c)
+    if do_clip:
+        new_u = jnp.clip(new_u, lb_c, ub_c)
     d = u_prev - new_u
     du2_ref[...] = du2_ref[...] + (d * d).sum(0)
     cost_ref[...] = cost_ref[...] + _diag_obj(qd, pd, xt, new_u, nx, nu)
@@ -299,12 +302,13 @@ def _launch_riccati(cfg, dyn, bounds, params2d, qd, pd, x_l, u_l, G,
 
 
 def _launch_forward(cfg, dyn, bounds, params2d, qd, pd, alpha_l,
-                    x_l, u_l, K_l, k_l, G, write_xu, interpret):
+                    x_l, u_l, K_l, k_l, G, write_xu, interpret,
+                    do_clip=True):
     T, nx, nu = cfg.T, cfg.n_state, cfg.n_ctrl
     f32 = jnp.float32
     kern = functools.partial(
         _forward_kernel, T, nx, nu, params2d.shape[1], bounds, dyn.step,
-        write_xu,
+        write_xu, do_clip,
     )
     out_specs = [_gspec(()), _gspec(())]
     out_shape = [
@@ -391,8 +395,10 @@ def ilqr_stream(
     fwd = functools.partial(_launch_forward, cfg, dyn, bounds, params2d,
                             qd, pd, G=G, interpret=interpret)
 
-    # initial open-loop rollout: zero gains, alpha = 0
-    x_l, u_l, old_cost, _ = fwd(a0, xi_l, u_l, Kz, kz, write_xu=True)
+    # initial open-loop rollout: zero gains, alpha = 0, no clipping of the
+    # raw warm-start iterate (parity with util.get_traj)
+    x_l, u_l, old_cost, _ = fwd(a0, xi_l, u_l, Kz, kz, write_xu=True,
+                                do_clip=False)
 
     inf = jnp.full((G, 8, 128), jnp.inf, f32)
 

@@ -85,28 +85,41 @@ def sharded_solve(
     if params is not None:
         params = jax.device_put(params, rep)
 
-    # Dynamics objects and callable costs are static (hashable bundles of
-    # pure functions); only array pytrees go through jit's arguments. The
-    # compiled function is cached so repeated sharded_solve calls with the
-    # same (cfg, cost/dynamics structure, kwargs) reuse the executable.
-    key = (cfg, quad, lin, None if quad else cost,
-           None if lin else dynamics, tuple(sorted(kwargs)))
-    fn = _SOLVE_CACHE.get(key)
-    if fn is None:
+    # Dynamics objects, callable costs, and scalar kwargs (e.g. bounds)
+    # are closed over the jitted fn so they stay compile-time constants
+    # (concrete bounds bake into the fused kernel; see
+    # ops/pallas/ilqr_fused._static_bounds). The executable is cached on a
+    # best-effort key: unhashable components (Dynamics carrying jax-array
+    # bounds, array-valued kwargs) key by object identity, with strong
+    # references kept alive in the cache so ids cannot be reused.
+    def _k(v):
+        try:
+            hash(v)
+            return v
+        except TypeError:
+            return ("id", id(v))
+
+    key = (
+        cfg, quad, lin,
+        None if quad else _k(cost),
+        None if lin else _k(dynamics),
+        tuple((k, _k(v)) for k, v in sorted(kwargs.items())),
+    )
+    entry = _SOLVE_CACHE.get(key)
+    if entry is None:
 
         @jax.jit
-        def fn(x_init, cost_arrays, dyn_arrays, params, kw_arrays):
+        def fn(x_init, cost_arrays, dyn_arrays, params):
             c = QuadCost(*cost_arrays) if quad else cost
             d = LinDx(*dyn_arrays) if lin else dynamics
-            kw = dict(zip(sorted(kwargs), kw_arrays))
-            return solve(cfg, x_init, c, d, params=params, **kw)
+            return solve(cfg, x_init, c, d, params=params, **kwargs)
 
-        _SOLVE_CACHE[key] = fn
+        entry = (fn, (cost, dynamics, kwargs))  # keep-alive refs
+        _SOLVE_CACHE[key] = entry
 
-    return fn(
+    return entry[0](
         x_init,
         tuple(cost) if quad else (),
         tuple(dynamics) if lin else (),
         params,
-        tuple(kwargs[k] for k in sorted(kwargs)),
     )

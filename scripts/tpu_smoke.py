@@ -100,9 +100,10 @@ def main():
 
     g = jax.jit(jax.grad(loss))(params)
     eps = 1e-3
+    jloss = jax.jit(loss)  # eager probes would stall on the tunnel RTT
     fd = jnp.stack([
-        (loss(params + eps * jnp.eye(3)[i]) - loss(params - eps * jnp.eye(3)[i]))
-        / (2 * eps)
+        (jloss(params + eps * jnp.eye(3)[i])
+         - jloss(params - eps * jnp.eye(3)[i])) / (2 * eps)
         for i in range(3)
     ])
     rel = float(jnp.linalg.norm(g - fd) / (jnp.linalg.norm(fd) + 1e-9))
