@@ -10,14 +10,12 @@ mpc.py:339-445).
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..models.base import Dynamics
-from ..types import BackwardMode, ILQRConfig, LinDx, QuadCost, SolveResult
-from .ilqr import ilqr_loop
+from ..types import ILQRConfig, LinDx, QuadCost, SolveResult
 
 
 def _to_time_major(a: Optional[jax.Array], batch_dims=2):

@@ -57,3 +57,39 @@ def test_pendulum_unit_circle_preserved():
     for _ in range(50):
         x = dyn.step(x, u, params)
     assert abs(float(x[0] ** 2 + x[1] ** 2) - 1.0) < 1e-4
+
+
+def test_pendulum_complex_variant_solves():
+    """The 5-parameter damped/biased pendulum (reference pendulum.py:45)
+    through the full solver."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dilqr_tpu.core.solver import solve
+    from dilqr_tpu.models import pendulum
+    from dilqr_tpu.types import ILQRConfig, QuadCost
+
+    dyn = pendulum.make(simple=False)
+    params = pendulum.default_params(simple=False)
+    params = params.at[3].set(0.1).at[4].set(0.2)  # damping + gravity bias
+    q, p = pendulum.get_true_obj()
+    B, T = 3, 8
+    rng = np.random.RandomState(0)
+    th = rng.uniform(-2, 2, B)
+    x0 = jnp.stack(
+        [jnp.cos(jnp.asarray(th)), jnp.sin(jnp.asarray(th)), jnp.zeros(B)], 1
+    )
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=6, eps=1e-4,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    r = solve(cfg, x0, QuadCost(jnp.diag(q), p), dyn, params=params,
+              u_lower=dyn.lower, u_upper=dyn.upper)
+    assert np.isfinite(np.asarray(r.costs)).all()
+    # damping/bias change the solution vs the simple variant
+    r0 = solve(cfg, x0, QuadCost(jnp.diag(q), p), pendulum.make(),
+               params=pendulum.default_params(),
+               u_lower=dyn.lower, u_upper=dyn.upper)
+    assert np.abs(np.asarray(r.u) - np.asarray(r0.u)).max() > 1e-3
