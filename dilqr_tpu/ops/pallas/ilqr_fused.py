@@ -299,6 +299,7 @@ def _ilqr_kernel(
     V_ref = next(it_r)
     v_ref = next(it_r)
     cc_ref = next(it_r)
+    oc_ref = next(it_r)
     flags_ref = next(it_r)
 
     if cost_mode == "lanes":
@@ -370,20 +371,22 @@ def _ilqr_kernel(
         Ct = Cmat(t)
         return 0.5 * (tau * _mv(Ct, tau)).sum(0) + (cvec(t) * tau).sum(0)
 
+    # ---- 1) initial open-loop rollout + objective (once; afterwards the
+    # accept pass maintains x_ref/u_ref and their cost, util.py:104-153) ----
+    def roll(t, carry):
+        xt, cost = carry
+        x_ref[t] = xt
+        ut = u_ref[t]
+        cost = cost + obj_t(t, xt, ut)
+        return step(xt, ut), cost
+
+    _, oc0 = lax.fori_loop(0, T, roll, (x_init, jnp.zeros((8, 128), f32)))
+    oc_ref[...] = oc0
+
     def outer_body(it, _):
         @pl.when(flags_ref[0] == 0)
         def _():
-            # ---- 1) open-loop rollout + objective ----
-            def roll(t, carry):
-                xt, cost = carry
-                x_ref[t] = xt
-                ut = u_ref[t]
-                cost = cost + obj_t(t, xt, ut)
-                return step(xt, ut), cost
-
-            _, old_cost = lax.fori_loop(
-                0, T, roll, (x_init, jnp.zeros((8, 128), f32))
-            )
+            old_cost = oc_ref[...]
 
             # ---- 2+3+4) backward Riccati (lqr_step.py:52-160) with the
             # linearization F_t = jax.linearize(step) and the delta-space
@@ -547,6 +550,7 @@ def _ilqr_kernel(
 
             lax.fori_loop(0, T, accept, x_init)
 
+            oc_ref[...] = cc  # accepted iterate's cost = next old_cost
             bc_ref[...] = jnp.where(improved, cc, bc_ref[...])
             bdu_ref[...] = jnp.where(improved, cur_du, bdu_ref[...])
 
@@ -692,6 +696,7 @@ def ilqr_fused(
                 pltpu.VMEM((nx, nx, 8, 128), f32),     # V
                 pltpu.VMEM((nx, 8, 128), f32),         # v
                 pltpu.VMEM((8, 128), f32),             # cc
+                pltpu.VMEM((8, 128), f32),             # old_cost
                 pltpu.SMEM((4,), jnp.int32),           # flags
             ],
             interpret=interpret,
@@ -722,8 +727,8 @@ def _squeeze_io(kernel, cost_mode):
             out.append(LaneView(refs[i])); i += 1  # C lanes
             out.append(LaneView(refs[i])); i += 1  # c lanes
         # remaining tensor refs (u0?, lb?, ub?, 5 outputs) are lane tensors;
-        # the trailing 8 are scratch (u, x, K, k, V, v, cc, flags)
-        n_tensor = len(refs) - i - 8
+        # the trailing 9 are scratch (u, x, K, k, V, v, cc, oc, flags)
+        n_tensor = len(refs) - i - 9
         for _ in range(n_tensor):
             out.append(LaneView(refs[i])); i += 1
         out.extend(refs[i:])
