@@ -1,0 +1,87 @@
+"""Randomized cross-backend fuzz: megakernel (interpret) vs the XLA scan on
+randomly generated smooth nonlinear control problems across n_ctrl 1..3.
+Catches corner interactions (active-set flips, line-search boundaries,
+asymmetric bounds) that the curated env tests miss."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dilqr_tpu.core.solver import solve
+from dilqr_tpu.models.base import Dynamics
+from dilqr_tpu.types import ILQRConfig, QuadCost
+
+F32 = jnp.float32
+
+
+def _random_env(rng, nx, nu):
+    """A stable random smooth system: x' = x + dt (tanh(A x) + B u + b).
+
+    Coefficients are python floats (compile-time constants) and the step is
+    written with index arithmetic, like the real envs -- the fused kernels
+    trace it on [d, 8, 128] lane arrays and cannot capture array constants.
+    """
+    A = (0.8 * rng.randn(nx, nx)).tolist()
+    Bm = (0.7 * rng.randn(nx, nu)).tolist()
+    b = (0.2 * rng.randn(nx)).tolist()
+    dt = 0.1
+    lo = float(-(0.5 + rng.rand()))
+    hi = float(0.5 + rng.rand())
+
+    def _step(x, u, params, clamp):
+        a0, a1 = params[0], params[1]
+        uu = [jnp.clip(u[j], lo, hi) if clamp else u[j] for j in range(nu)]
+        rows = []
+        for i in range(nx):
+            lin = sum(A[i][j] * x[j] for j in range(nx))
+            ctl = sum(Bm[i][j] * uu[j] for j in range(nu))
+            rows.append(x[i] + dt * (jnp.tanh(lin) * a0 + ctl * a1 + b[i]))
+        return jnp.stack(rows)
+
+    def step(x, u, params):
+        return _step(x, u, params, clamp=True)
+
+    def step_unclamped(x, u, params):
+        return _step(x, u, params, clamp=False)
+
+    dyn = Dynamics(
+        n_state=nx, n_ctrl=nu, step=step, step_unclamped=step_unclamped,
+        lower=lo, upper=hi, linesearch_decay=0.5, max_linesearch_iter=3,
+    )
+    return dyn, jnp.asarray([1.0, 1.0], F32), lo, hi
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fused_fuzz_random_problems(seed):
+    rng = np.random.RandomState(100 + seed)
+    nu = 1 + seed % 3
+    nx = int(rng.randint(2, 6))
+    T = int(rng.randint(3, 9))
+    B = int(rng.randint(1, 6))
+    dyn, params, lo, hi = _random_env(rng, nx, nu)
+    n = nx + nu
+    q = jnp.asarray(10.0 ** rng.uniform(-1, 1, n), F32)
+    p = jnp.asarray(0.5 * rng.randn(n), F32)
+    x_init = jnp.asarray(rng.randn(B, nx), F32)
+    cfg = ILQRConfig(
+        n_state=nx, n_ctrl=nu, T=T, lqr_iter=4, eps=0.0,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    boxed = seed % 2 == 0
+    kw = dict(u_lower=lo, u_upper=hi) if boxed else {}
+    args = (x_init, QuadCost(jnp.diag(q), p), dyn)
+    r_x = solve(dataclasses.replace(cfg, backend="xla"), *args,
+                params=params, **kw)
+    r_p = solve(dataclasses.replace(cfg, backend="pallas"), *args,
+                params=params, **kw)
+    cx, cp = np.asarray(r_x.costs), np.asarray(r_p.costs)
+    scale = np.abs(cx).max() + 1e-6
+    assert np.abs(cx - cp).max() / scale < 1e-4, (seed, cx, cp)
+    np.testing.assert_allclose(
+        np.asarray(r_p.u), np.asarray(r_x.u), atol=5e-3,
+        err_msg=f"seed={seed} nx={nx} nu={nu} T={T} boxed={boxed}",
+    )
