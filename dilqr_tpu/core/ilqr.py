@@ -150,11 +150,12 @@ def ilqr_loop(
 
     use_fused = False
     if cfg.backend != "xla":
-        from ..ops.pallas.ilqr_fused import fused_supported, ilqr_fused
+        from ..ops.pallas.ilqr_fused import (fused_supported, ilqr_fused,
+                                             lane_compatible)
 
         use_fused = fused_supported(
             cfg, cost, dyn, params, u_zero_I, delta_u, dtype
-        )
+        ) and lane_compatible(dyn, params, cfg.n_state, cfg.n_ctrl)
 
         def fused_call(interpret):
             return ILQRInternal(
@@ -276,5 +277,12 @@ def ilqr_loop(
         # CPU lowering. Programs that target CPU devices while a TPU
         # plugin is registered (e.g. a virtual CPU mesh) must pass
         # backend="xla" explicitly.
-        return fused_call(interpret=False)
+        try:
+            return fused_call(interpret=False)
+        except ValueError as e:
+            if "captures constants" not in str(e):
+                raise
+            # the env step closes over array constants -- Pallas kernels
+            # only admit scalar captures (lane_compatible catches shape
+            # incompatibilities; this catches shape-compatible captures)
     return xla_loop()

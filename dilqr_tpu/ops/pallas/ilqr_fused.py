@@ -129,6 +129,22 @@ def _static_bounds(u_lower, u_upper, nu):
     return (lo, hi)
 
 
+def lane_compatible(dyn: Dynamics, params, nx: int, nu: int) -> bool:
+    """Probe whether the env step traces on batch-on-lanes arrays
+    [d, 8, 128] (index-arithmetic envs do; `A @ x`-style closures over
+    matrices do not -- those fall back to the XLA path)."""
+    try:
+        sx = jax.ShapeDtypeStruct((nx, 8, 128), jnp.float32)
+        su = jax.ShapeDtypeStruct((nu, 8, 128), jnp.float32)
+        for fn in (dyn.step, dyn.linearize_point):
+            out = jax.eval_shape(lambda x, u, fn=fn: fn(x, u, params), sx, su)
+            if out.shape != (nx, 8, 128):
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def _is_flat_params(params) -> bool:
     """True iff params is a single rank-1 array (pytree params -- e.g.
     NNDynamics weight lists -- cannot ride in as SMEM scalars)."""

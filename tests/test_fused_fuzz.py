@@ -85,3 +85,22 @@ def test_fused_fuzz_random_problems(seed):
         np.asarray(r_p.u), np.asarray(r_x.u), atol=5e-3,
         err_msg=f"seed={seed} nx={nx} nu={nu} T={T} boxed={boxed}",
     )
+
+
+def test_array_closure_env_falls_back():
+    """An env step that closes over array constants cannot trace into the
+    fused kernel; the dispatch must fall back to the XLA path, not error."""
+    A = jnp.asarray(np.eye(3, dtype=np.float32) * 0.9)
+
+    def step(x, u, params):
+        return A @ x + jnp.concatenate([u, jnp.zeros(2, F32)]) * params[0]
+
+    dyn = Dynamics(n_state=3, n_ctrl=1, step=step, lower=-1.0, upper=1.0)
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=4, lqr_iter=2, eps=1e-4,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    q = jnp.ones(4, F32)
+    r = solve(cfg, jnp.ones((2, 3), F32), QuadCost(jnp.diag(q), jnp.zeros(4, F32)),
+              dyn, params=jnp.asarray([0.5], F32), u_lower=-1.0, u_upper=1.0)
+    assert np.isfinite(np.asarray(r.costs)).all()
