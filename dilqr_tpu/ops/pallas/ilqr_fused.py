@@ -259,20 +259,26 @@ def _pnqp_lanes(H, q, lb, ub, x0, n_iter, nu):
         )
         return mx
 
-    def outer(i, carry):
-        x, If_prev, Hf_prev, done = carry
+    def outer_cond(carry):
+        _, _, _, done, i = carry
+        return jnp.logical_not(done) & (i < n_iter)
+
+    def outer(carry):
+        x, If_prev, Hf_prev, done, i = carry
         g, If, H_free, dx = newton(x)
-        If = jnp.where(done, If_prev, If)
-        H_free = jnp.where(done, Hf_prev, H_free)
         J = jnp.sqrt((dx * dx).sum(0)) >= PNQP_CONV
-        new_done = done | ~jnp.any(J)
+        new_done = ~jnp.any(J)
         new_x = armijo(x, g, dx, J)
         x = jnp.where(new_done, x, new_x)
-        return x, If, H_free, new_done
+        return x, If, H_free, new_done, i + 1
 
+    # early-exit per tile once every lane's Newton step is small
+    # (reference pnqp.py:56-59); identical iterates to the masked
+    # fixed-trip version, minus the discarded work
     g0, If0, Hf0, _ = newton(x)
-    x, If, H_free, _ = lax.fori_loop(
-        0, n_iter, outer, (x, If0, Hf0, jnp.full((), False))
+    x, If, H_free, _, _ = lax.while_loop(
+        outer_cond, outer,
+        (x, If0, Hf0, jnp.full((), False), jnp.int32(0)),
     )
     return x, If, H_free
 
