@@ -242,20 +242,22 @@ def _pnqp_lanes(H, q, lb, ub, x0, n_iter, nu):
             arm = jnp.where(J, num / den, sentinel)
             return mx, arm
 
-        def body(i, carry):
-            alpha, mx, max_arm = carry
-            active = max_arm <= PNQP_GAMMA
+        def cond(carry):
+            _, _, max_arm, i = carry
+            # exit as soon as max(armijo) > GAMMA (the reference quirk,
+            # pnqp.py:61-77)
+            return (max_arm <= PNQP_GAMMA) & (i < PNQP_ARMIJO_ITER)
+
+        def body(carry):
+            alpha, mx, _, i = carry
             nmx, arm = trial(alpha)
-            mx = jnp.where(active, nmx, mx)
-            nalpha = jnp.where(arm <= PNQP_GAMMA, alpha * PNQP_DECAY, alpha)
-            alpha = jnp.where(active, nalpha, alpha)
-            max_arm = jnp.where(active, jnp.max(arm), max_arm)
-            return alpha, mx, max_arm
+            alpha = jnp.where(arm <= PNQP_GAMMA, alpha * PNQP_DECAY, alpha)
+            return alpha, nmx, jnp.max(arm), i + 1
 
         a0 = jnp.ones((8, 128), jnp.float32)
-        _, mx, _ = lax.fori_loop(
-            0, PNQP_ARMIJO_ITER, body,
-            (a0, x, jnp.full((), PNQP_GAMMA, jnp.float32)),
+        _, mx, _, _ = lax.while_loop(
+            cond, body,
+            (a0, x, jnp.full((), PNQP_GAMMA, jnp.float32), jnp.int32(0)),
         )
         return mx
 
