@@ -104,3 +104,27 @@ def test_array_closure_env_falls_back():
     r = solve(cfg, jnp.ones((2, 3), F32), QuadCost(jnp.diag(q), jnp.zeros(4, F32)),
               dyn, params=jnp.asarray([0.5], F32), u_lower=-1.0, u_upper=1.0)
     assert np.isfinite(np.asarray(r.costs)).all()
+
+
+def test_vmap_over_solve_xla_path():
+    """jax.vmap over solve works on the XLA path (candidate sweeps); the
+    Pallas kernels have no batching rule -- fold extra axes into the batch
+    or pass backend="xla" when vmapping."""
+    from dilqr_tpu.models import pendulum
+
+    dyn = pendulum.make()
+    params = pendulum.default_params()
+    q, p = pendulum.get_true_obj()
+    x0 = jnp.stack([jnp.ones(2), jnp.zeros(2), jnp.zeros(2)], 1)
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=5, lqr_iter=3, eps=1e-4,
+        exit_unconverged=False, detach_unconverged=False,
+        backprop=False, backend="xla",
+    )
+    scales = jnp.linspace(0.5, 2.0, 3)
+    out = jax.vmap(
+        lambda s: solve(cfg, x0, QuadCost(jnp.diag(jnp.asarray(q) * s), p),
+                        dyn, params=params, u_lower=-2.0, u_upper=2.0).costs
+    )(scales)
+    assert out.shape == (3, 2)
+    assert np.isfinite(np.asarray(out)).all()
