@@ -77,7 +77,7 @@ def _vmem_bytes(cfg: ILQRConfig) -> int:
     T, nx, nu = cfg.T, cfg.n_state, cfg.n_ctrl
     n = nx + nu
     per_t = 2 * nu + nx + nu * nx  # u, k, x, K (trials are cost-only)
-    scratch = T * per_t + nx * nx + nx + 1
+    scratch = T * per_t + nx * nx + nx + 2  # + cc + old_cost tiles
     temps = 2 * (n * n + 2 * nx * n + nx * nx)
     return (scratch + temps) * BT * 4
 
@@ -136,8 +136,14 @@ def lane_compatible(dyn: Dynamics, params, nx: int, nu: int) -> bool:
     try:
         sx = jax.ShapeDtypeStruct((nx, 8, 128), jnp.float32)
         su = jax.ShapeDtypeStruct((nu, 8, 128), jnp.float32)
+        # mirror the kernel exactly: params arrive as a python LIST of
+        # scalars (SMEM reads), so whole-array params ops must fail here
+        n_params = int(jnp.shape(jnp.asarray(params))[0])
+        sp = [jax.ShapeDtypeStruct((), jnp.float32)] * n_params
         for fn in (dyn.step, dyn.linearize_point):
-            out = jax.eval_shape(lambda x, u, fn=fn: fn(x, u, params), sx, su)
+            out = jax.eval_shape(
+                lambda x, u, *p, fn=fn: fn(x, u, list(p)), sx, su, *sp
+            )
             if out.shape != (nx, 8, 128):
                 return False
         return True
@@ -736,8 +742,9 @@ def ilqr_fused(
 
 
 def _squeeze_io(kernel, cost_mode):
-    """Wrap lane-tensor refs in LaneView (SMEM refs and the trailing 10
-    scratch refs pass through untouched)."""
+    """Wrap lane-tensor refs in LaneView (SMEM refs and the trailing 9
+    scratch refs -- u, x, K, k, V, v, cc, oc, flags -- pass through
+    untouched)."""
     n_smem_cost = 2 if cost_mode in ("smem", "diag") else 0
 
     def wrapped(*refs):

@@ -62,8 +62,6 @@ def test_pendulum_unit_circle_preserved():
 def test_pendulum_complex_variant_solves():
     """The 5-parameter damped/biased pendulum (reference pendulum.py:45)
     through the full solver."""
-    import dataclasses
-
     import jax.numpy as jnp
     import numpy as np
 

@@ -2,6 +2,7 @@
 il_exp.py:97-120) and the receding-horizon expert data generator
 (populate_data2, il_env.py:96-151)."""
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 
