@@ -128,14 +128,34 @@ def augment_slew_rate(
             return true + 0.5 * tau_aug @ slew_C @ tau_aug
 
     if isinstance(dyn, LinDx):
-        raise NotImplementedError(
-            "slew_rate_penalty with LinDx uses the same augmentation; "
-            "construct the augmented LinDx directly."
+        # block-build the augmented LinDx (reference mpc.py:381-395):
+        # rows [u_{t-1}' = u_t | x' = Fx x + Fu u (+ f)] over the augmented
+        # tau = (u_{t-1}, x, u)
+        Fm = dyn.F  # time-major [T-1, B, nx, nx+nu]
+        Tm1, Bb = Fm.shape[0], Fm.shape[1]
+        top = jnp.concatenate(
+            [
+                jnp.zeros((Tm1, Bb, nu, nu + nx), dtype),
+                jnp.broadcast_to(
+                    jnp.eye(nu, dtype=dtype), (Tm1, Bb, nu, nu)
+                ),
+            ],
+            axis=-1,
         )
+        bot = jnp.concatenate(
+            [jnp.zeros((Tm1, Bb, nx, nu), dtype), Fm], axis=-1
+        )
+        Fa = jnp.concatenate([top, bot], axis=-2)
+        fa = dyn.f
+        if fa is not None:
+            fa = jnp.concatenate(
+                [jnp.zeros((Tm1, Bb, nu), dtype), fa], axis=-1
+            )
+        aug_dyn = LinDx(Fa, fa)
+    else:
+        from ..models import ctrl_passthrough
 
-    from ..models import ctrl_passthrough
-
-    aug_dyn = ctrl_passthrough.make(dyn)
+        aug_dyn = ctrl_passthrough.make(dyn)
 
     if prev_ctrl is None:
         prev_u0 = jnp.zeros((B, nu), dtype)
@@ -237,9 +257,22 @@ def solve(
 
     converged = full_du_norm < cfg.eps
     if cfg.exit_unconverged:
-        # reference asserts (mpc.py:323-324); functional build surfaces the
-        # flag instead -- callers may raise on jax.device_get(converged).
-        pass
+        # reference asserts (mpc.py:323-324); a jitted program cannot abort
+        # on traced values, so honor the flag's intent with a host-side
+        # warning -- callers that need a hard stop raise on
+        # jax.device_get(result.converged).
+        def _warn_unconverged(conv):
+            import warnings
+
+            n_bad = int((~conv).sum())
+            if n_bad:
+                warnings.warn(
+                    f"iLQR did not converge for {n_bad}/{conv.shape[0]} "
+                    "examples (exit_unconverged is set; the reference "
+                    "asserts here, mpc.py:323-324)"
+                )
+
+        jax.debug.callback(_warn_unconverged, converged)
 
     return SolveResult(
         x=jnp.swapaxes(x, 0, 1),

@@ -39,12 +39,18 @@ def solve_adjoint_fixed_point(
     tol: float = 1e-6,
     restart: int = 20,
     maxiter: int = 3,
-) -> Tuple[jax.Array, jax.Array]:
+):
     """Solve (I - L_tau^T S_{F,f}^T) w = v for the adjoint w.
 
     sT_Ff((wx, wu)) -> (dF, df): transposed LQR-subproblem sensitivity.
     lT_xu((dF, df)) -> (dX, dU): VJP of the linearization w.r.t. the
     trajectory. v: loss cotangents (g_x, g_u), each [T, B, ...].
+
+    Returns ``(w, res_norm, b_norm)``: the caller inspects
+    ``res_norm > tol * b_norm`` to warn / fall back to the dense probing
+    solve when the fixed-point map is not contracting enough (e.g. a
+    barely-converged forward solve; the reference's analogue of its unused
+    1e-5 ridge, lqr_step_explicit.py:559-570).
     """
 
     def A(w):
@@ -52,7 +58,10 @@ def solve_adjoint_fixed_point(
         dX, dU = lT_xu(dF, df)
         return (w[0] - dX, w[1] - dU)
 
-    return gmres(A, v, x0=v, tol=tol, restart=restart, maxiter=maxiter)
+    return gmres(
+        A, v, x0=v, tol=tol, restart=restart, maxiter=maxiter,
+        return_info=True,
+    )
 
 
 def solve_adjoint_dense(

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..core.ilqr import ilqr_loop
 from ..core.linearize import approximate_cost, linearize_dynamics
+from ..utils.batch import bmv as bmv_ein
 from ..models.base import Dynamics
 from ..types import BackwardMode, ILQRConfig, LinDx, QuadCost
 from .ift import solve_adjoint_dense, solve_adjoint_fixed_point
@@ -62,14 +63,16 @@ def _linearize_for_vjp(cfg: ILQRConfig, dyn_static: Dynamics):
     (core/linearize.py) with the env's preferred jacobian."""
 
     def lin(x, u, params):
+        # FINITE_DIFF is kept as-is: the reference's diff=True FD path also
+        # chains gradients through the central-difference evaluations
+        # (mpc.py:568-582 only detaches when diff=False), and jax.vjp
+        # through the FD stencil reproduces that.
         return linearize_dynamics(
             dyn_static.step,
             params,
             x,
             u,
-            method=cfg.grad_method
-            if cfg.grad_method.name != "FINITE_DIFF"
-            else cfg.grad_method,
+            method=cfg.grad_method,
             jacobian_fn=dyn_static.jacobian,
             fd_eps=cfg.fd_eps,
             linearize_fn=dyn_static.linearize_point,
@@ -194,6 +197,24 @@ def solve_with_grad(
             lin_pullback = None
         else:
             lin_map = _linearize_for_vjp(cfg, dyn_static)
+            if (
+                cfg.backward_mode is not BackwardMode.IFT
+                and not cfg.kkt_grad_through_F
+            ):
+                # reference-compat KKT chain (see ILQRConfig
+                # .kkt_grad_through_F): F enters as a constant; the params
+                # chain of f is only the new_x evaluation. f_ref = f +
+                # (F - sg(F)) tau has the same value but its params
+                # cotangent drops the dF/dtheta term, exactly like
+                # autograd.grad-without-create_graph at mpc.py:538-549.
+                base_lin = lin_map
+
+                def lin_map(x, u, p):
+                    F_, f_ = base_lin(x, u, p)
+                    Fc = jax.lax.stop_gradient(F_)
+                    tau = jnp.concatenate([x, u], axis=-1)[:-1]
+                    return Fc, f_ + bmv_ein(F_ - Fc, tau)
+
             (F, f), lin_pullback = jax.vjp(lin_map, x, u, dyn_in)
 
         I = _active_set(u, lb, ub)
@@ -217,7 +238,7 @@ def solve_with_grad(
             if cfg.ift_solver == "dense":
                 w = solve_adjoint_dense(sT_Ff, lT_xu, (g_x, g_u))
             else:
-                w = solve_adjoint_fixed_point(
+                w, res, b_norm = solve_adjoint_fixed_point(
                     sT_Ff,
                     lT_xu,
                     (g_x, g_u),
@@ -225,6 +246,37 @@ def solve_with_grad(
                     restart=cfg.ift_restart,
                     maxiter=cfg.ift_maxiter,
                 )
+                bad = res > cfg.ift_tol * (b_norm + 1e-30)
+
+                def _warn(bad_, res_, b_):
+                    if bool(bad_):
+                        import warnings
+
+                        warnings.warn(
+                            "IFT GMRES adjoint did not converge "
+                            f"(residual {float(res_):.3e} vs tol "
+                            f"{cfg.ift_tol:.1e} * ||b||={float(b_):.3e})"
+                            + (
+                                "; falling back to the dense probing solve"
+                                if cfg.ift_fallback
+                                else "; gradients may be inaccurate -- set "
+                                "ift_solver='dense' or raise ift_maxiter"
+                            )
+                        )
+
+                jax.debug.callback(_warn, bad, res, b_norm)
+                if cfg.ift_fallback:
+                    # a weakly-contracting fixed point (under-converged
+                    # forward solve) defeats GMRES(m); the dense probe is
+                    # exact. lax.cond executes only the taken branch.
+                    w = jax.lax.cond(
+                        bad,
+                        lambda _: solve_adjoint_dense(
+                            sT_Ff, lT_xu, (g_x, g_u)
+                        ),
+                        lambda w_: w_,
+                        w,
+                    )
             kg = sT(w)
         else:
             kg = sT((g_x, g_u))

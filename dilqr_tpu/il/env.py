@@ -68,6 +68,9 @@ class ILEnv:
     slew_rate_penalty: Optional[float] = None
     grad_method: GradMethod = GradMethod.ANALYTIC
     backward_mode: BackwardMode = BackwardMode.IFT
+    # "pnqp" reproduces the reference's exact projected-Newton iterates
+    # (for parity tests); "auto" is the fast closed-form 1-D QP
+    qp_solver: str = "auto"
 
     train_data: Optional[np.ndarray] = None
     val_data: Optional[np.ndarray] = None
@@ -107,6 +110,7 @@ class ILEnv:
             backward_mode=self.backward_mode,
             backprop=backprop,
             slew_rate_penalty=self.slew_rate_penalty,
+            qp_solver=self.qp_solver,
         )
         res = solve(
             cfg,
@@ -134,16 +138,21 @@ class ILEnv:
         self.val_data = tau[n_train : n_train + n_val]
         self.test_data = tau[-n_test:]
 
-    def populate_data2(self, n_train, n_val, n_test, seed=0):
+    def populate_data2(self, n_train, n_val, n_test, seed=0, xinit=None):
         """Receding-horizon expert with warm-start shifting
         (il_env.py:96-151). The reference loops per-sample in Python; here
         the whole population rolls forward together, one batched solve per
-        environment step -- same trajectories, B-fold fewer solves."""
+        environment step -- same trajectories, B-fold fewer solves.
+
+        xinit: optional [n_total, n_state] initial states overriding
+        sample_xinit (parity tests inject the reference's torch-RNG draws)."""
         key = jax.random.PRNGKey(seed)
         n = n_train + n_val + n_test
         dx, params = self.true_dx, self.true_params
         T = self.mpc_T
-        x = sample_xinit(key, self.env, n)
+        x = sample_xinit(key, self.env, n) if xinit is None else jnp.asarray(
+            xinit
+        )
         u_init = None
         xs, us = [np.asarray(x)], []
         for _ in range(T):

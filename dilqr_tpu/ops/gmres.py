@@ -29,10 +29,13 @@ def gmres(
     tol: float = 1e-6,
     restart: int = 20,
     maxiter: int = 3,
+    return_info: bool = False,
 ) -> Any:
     """Solve A x = b for the linear operator ``matvec`` acting on pytrees.
 
-    Returns the solution pytree. ``tol`` is relative to ||b||;
+    Returns the solution pytree; with ``return_info=True`` returns
+    ``(x, res_norm, b_norm)`` so callers can detect non-convergence
+    (``res_norm > tol * b_norm``). ``tol`` is relative to ||b||;
     total matvecs <= maxiter * (restart + 1).
     """
     b_flat, unravel = ravel_pytree(b)
@@ -82,5 +85,7 @@ def gmres(
         return x, res, i + 1
 
     r0 = jnp.linalg.norm(b_flat - mv(x))
-    x, _, _ = lax.while_loop(cond, body, (x, r0, jnp.int32(0)))
+    x, res, _ = lax.while_loop(cond, body, (x, r0, jnp.int32(0)))
+    if return_info:
+        return unravel(x), res, b_norm
     return unravel(x)

@@ -132,7 +132,13 @@ def _static_bounds(u_lower, u_upper, nu):
 def lane_compatible(dyn: Dynamics, params, nx: int, nu: int) -> bool:
     """Probe whether the env step traces on batch-on-lanes arrays
     [d, 8, 128] (index-arithmetic envs do; `A @ x`-style closures over
-    matrices do not -- those fall back to the XLA path)."""
+    matrices do not -- those fall back to the XLA path).
+
+    Besides shape compatibility this inspects the probe jaxpr's closure
+    constants: Pallas kernels admit scalar captures only, so a step that
+    closes over a non-scalar array (e.g. ``A @ x`` with a captured matrix
+    of a lane-compatible shape) is rejected here, proactively -- not by
+    parsing Mosaic's "captures constants" error text at lowering time."""
     try:
         sx = jax.ShapeDtypeStruct((nx, 8, 128), jnp.float32)
         su = jax.ShapeDtypeStruct((nu, 8, 128), jnp.float32)
@@ -141,11 +147,17 @@ def lane_compatible(dyn: Dynamics, params, nx: int, nu: int) -> bool:
         n_params = int(jnp.shape(jnp.asarray(params))[0])
         sp = [jax.ShapeDtypeStruct((), jnp.float32)] * n_params
         for fn in (dyn.step, dyn.linearize_point):
-            out = jax.eval_shape(
-                lambda x, u, *p, fn=fn: fn(x, u, list(p)), sx, su, *sp
-            )
+            closed = jax.make_jaxpr(
+                lambda x, u, *p, fn=fn: fn(x, u, list(p))
+            )(sx, su, *sp)
+            out = closed.out_avals[0]
             if out.shape != (nx, 8, 128):
                 return False
+            for const in closed.consts:
+                if getattr(const, "ndim", 0) > 0 and getattr(
+                    const, "size", 1
+                ) > 1:
+                    return False
         return True
     except Exception:
         return False

@@ -107,11 +107,20 @@ def lqr_backward(
 
     if parallel and not boxed and u_zero_I is None:
         # associative-scan Riccati: O(log T) depth, exact for the
-        # unconstrained recursion (ops/parallel_riccati.py)
-        from .parallel_riccati import plqr_backward
+        # unconstrained recursion (ops/parallel_riccati.py). Its n > 3
+        # combine uses batched jnp.linalg.solve, which has no f64 batched
+        # LU on TPU -- that combination falls back to the sequential scan
+        # rather than failing at compile time.
+        plqr_ok = not (
+            nx > 3
+            and C.dtype == jnp.float64
+            and jax.default_backend() == "tpu"
+        )
+        if plqr_ok:
+            from .parallel_riccati import plqr_backward
 
-        K, k = plqr_backward(nx, nu, C, c, F, f)
-        return RiccatiResult(K, k, jnp.int32(0))
+            K, k = plqr_backward(nx, nu, C, c, F, f)
+            return RiccatiResult(K, k, jnp.int32(0))
 
     if backend != "xla" and f is None:
         # NB the fused kernel implements the delta-space form (f folds into

@@ -27,7 +27,64 @@ from ..core.solver import solve
 from ..types import ILQRConfig, LinDx, QuadCost, SolveResult
 
 
-_SOLVE_CACHE: dict = {}
+import collections
+
+_SOLVE_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_SOLVE_CACHE_MAX = 64
+
+
+def _struct_key(v):
+    """A hashable structural key for executable caching.
+
+    Arrays key by (shape, dtype, content bytes) -- solver extras (bounds,
+    masks) are small, so hashing content is cheap and immune to in-place
+    mutation; arrays past 64k elements key by shape/dtype/id as a guard
+    (document: treat such baked-in constants as immutable). Functions key
+    by code object + structural closure contents, so two `pendulum.make()`
+    calls produce the SAME key (fresh lambdas over the same code);
+    containers recurse; objects (Dynamics) key by type + attributes.
+    """
+    import types as pytypes
+
+    if v is None or isinstance(v, (bool, int, float, str, bytes)):
+        return v
+    if isinstance(v, (jax.Array, np.ndarray)):
+        a = np.asarray(v)
+        if a.size > 65536:
+            return ("bigarray", a.shape, str(a.dtype), id(v))
+        return ("array", a.shape, str(a.dtype), a.tobytes())
+    if isinstance(v, pytypes.FunctionType):
+        cells = tuple(
+            _struct_key(c.cell_contents) for c in (v.__closure__ or ())
+        )
+        defaults = tuple(_struct_key(d) for d in (v.__defaults__ or ()))
+        return ("fn", v.__code__, cells, defaults)
+    if isinstance(v, (tuple, list)):
+        return (type(v).__name__,) + tuple(_struct_key(x) for x in v)
+    if isinstance(v, dict):
+        return (
+            "dict",
+            tuple((k, _struct_key(x)) for k, x in sorted(v.items())),
+        )
+    import dataclasses as dc
+
+    if dc.is_dataclass(v) and not isinstance(v, type):
+        return (
+            type(v),
+            tuple(
+                (f.name, _struct_key(getattr(v, f.name)))
+                for f in dc.fields(v)
+            ),
+        )
+    try:
+        hash(v)
+        return v
+    except TypeError:
+        pass
+    fields = getattr(v, "__dict__", None)
+    if fields:
+        return (type(v), _struct_key(fields))
+    return ("id", type(v), id(v))
 
 
 def batch_mesh(devices=None, axis_name: str = "batch") -> Mesh:
@@ -88,25 +145,20 @@ def sharded_solve(
     # Dynamics objects, callable costs, and scalar kwargs (e.g. bounds)
     # are closed over the jitted fn so they stay compile-time constants
     # (concrete bounds bake into the fused kernel; see
-    # ops/pallas/ilqr_fused._static_bounds). The executable is cached on a
-    # best-effort key: unhashable components (Dynamics carrying jax-array
-    # bounds, array-valued kwargs) key by object identity, with strong
-    # references kept alive in the cache so ids cannot be reused.
-    def _k(v):
-        try:
-            hash(v)
-            return v
-        except TypeError:
-            return ("id", id(v))
-
+    # ops/pallas/ilqr_fused._static_bounds). The executable cache keys
+    # components *structurally* -- arrays by (shape, dtype, content bytes),
+    # objects by their public attributes, callables by identity -- so two
+    # equal configurations share one program and a mutated-in-place array
+    # cannot silently reuse a stale executable. The cache is a bounded LRU
+    # (oldest program dropped past _SOLVE_CACHE_MAX entries).
     key = (
         cfg, quad, lin,
-        None if quad else _k(cost),
-        None if lin else _k(dynamics),
-        tuple((k, _k(v)) for k, v in sorted(kwargs.items())),
+        None if quad else _struct_key(cost),
+        None if lin else _struct_key(dynamics),
+        tuple((k, _struct_key(v)) for k, v in sorted(kwargs.items())),
     )
-    entry = _SOLVE_CACHE.get(key)
-    if entry is None:
+    fn = _SOLVE_CACHE.get(key)
+    if fn is None:
 
         @jax.jit
         def fn(x_init, cost_arrays, dyn_arrays, params):
@@ -114,10 +166,13 @@ def sharded_solve(
             d = LinDx(*dyn_arrays) if lin else dynamics
             return solve(cfg, x_init, c, d, params=params, **kwargs)
 
-        entry = (fn, (cost, dynamics, kwargs))  # keep-alive refs
-        _SOLVE_CACHE[key] = entry
+        _SOLVE_CACHE[key] = fn
+        while len(_SOLVE_CACHE) > _SOLVE_CACHE_MAX:
+            _SOLVE_CACHE.popitem(last=False)
+    else:
+        _SOLVE_CACHE.move_to_end(key)
 
-    return entry[0](
+    return fn(
         x_init,
         tuple(cost) if quad else (),
         tuple(dynamics) if lin else (),

@@ -149,6 +149,20 @@ class ILQRConfig:
     # lqr_step_explicit.py:664-702); O(T*(nx+nu)) LQR solves per backward,
     # exact, for ill-conditioned fixed points.
     ift_solver: str = "gmres"
+    # With ift_solver="gmres": when the adjoint residual exceeds
+    # ift_tol * ||b|| after all restarts (weakly-contracting fixed point,
+    # e.g. an under-converged forward solve), emit a host warning and
+    # lax.cond into the exact dense probing solve. False = warn only.
+    ift_fallback: bool = True
+    # Module-KKT backward, nonlinear dynamics only: chain the dF cotangent
+    # into the dynamics params (the complete derivative of the last LQR
+    # subproblem). The reference does NOT -- its AUTO_DIFF diff=True
+    # linearization calls torch.autograd.grad without create_graph
+    # (mpc.py:538-549), so its dtheta flows only through
+    # f = new_x - F tau with F held constant. False reproduces the
+    # reference's gradients exactly (golden-tested,
+    # tests/test_grad_modes.py::test_kkt_nonlinear_golden).
+    kkt_grad_through_F: bool = True
     # Use the associative-scan Riccati (ops/parallel_riccati.py, O(log T)
     # depth) for UNCONSTRAINED backward passes -- a large-T / small-B
     # option; box/zero-masked solves always use the sequential recursion.

@@ -97,14 +97,24 @@ def solve_psd(H: jax.Array, B: jax.Array) -> jax.Array:
 
     The reference uses LU (pnqp.py:53-54) or pinverse (lqr_step.py:89-94) on
     n<=16 matrices. For n <= 3 a closed-form inverse beats the batched-LU
-    HLO on both compile time and runtime; larger sizes take the vectorized
-    LU. B may be [..., n] or [..., n, m].
+    HLO on both compile time and runtime (and is the only n<=3 path that
+    works for f64 on TPU, where batched LU is f32-only); larger sizes take
+    the vectorized LU. B may be [..., n] or [..., n, m].
+
+    Conditioning caveat: the adjugate/det inverse loses ~cond(H) ulps
+    relative to a pivoted LU solve. The solver's Hessians are regularized
+    (pnqp's 1e-11 ridge) and the f64 golden suite passes, but for f64 --
+    where callers are after maximum accuracy -- one step of iterative
+    refinement (one extra bmm pair) recovers the gap for stiff user costs.
     """
     vec = B.ndim == H.ndim - 1
     if vec:
         B = B[..., None]
     if H.shape[-1] <= 3:
-        X = bmm(inv_small(H), B)
+        Hi = inv_small(H)
+        X = bmm(Hi, B)
+        if H.dtype == jnp.float64:
+            X = X + bmm(Hi, B - bmm(H, X))
     else:
         X = jnp.linalg.solve(H, B)
     return X[..., 0] if vec else X

@@ -406,7 +406,241 @@ def golden_module_cost():
          x=x.detach(), u=u.detach(), objs=objs.detach())
 
 
+def golden_slew_lindx():
+    """Slew-rate penalty with LinDx dynamics (reference mpc.py:381-395
+    builds the augmented _F0/_F1 blocks for LinDx too), f64.
+
+    The reference path is BROKEN as shipped: solve_lqr_subproblem sets
+    _dynamics = None for LinDx (mpc.py:414-416) and lqr_forward then calls
+    true_dynamics(...) -> TypeError (lqr_step.py:224). The augmented
+    blocks _F/_f it builds ARE the rollout dynamics, so the golden is
+    generated with the one-line repair of passing LinDx(_F, _f) through --
+    the unambiguous intent of mpc.py:381-395."""
+    import mpc as ref_mpc
+
+    orig_LQRStep = ref_mpc.LQRStep
+
+    def fixed_LQRStep(**kw):
+        if kw.get("true_dynamics", "sentinel") is None:
+
+            def call(x_init, C, c, F, f):
+                kw2 = dict(kw)
+                kw2["true_dynamics"] = ref_mpc.LinDx(F, f)
+                return orig_LQRStep(**kw2)(x_init, C, c, F, f)
+
+            return call
+        return orig_LQRStep(**kw)
+
+    ref_mpc.LQRStep = fixed_LQRStep
+
+    torch.set_default_dtype(torch.float64)
+    torch.manual_seed(41)
+    T, B, nx, nu = 10, 4, 3, 2
+    n = nx + nu
+    A = torch.randn(T, B, n, n)
+    C = A @ A.transpose(2, 3) + 0.5 * torch.eye(n)
+    c = torch.randn(T, B, n)
+    F = torch.randn(T - 1, B, nx, n) * 0.3
+    F[..., :nx] += torch.eye(nx)
+    f = torch.randn(T - 1, B, nx) * 0.1
+    x_init = torch.randn(B, nx)
+    prev_u = torch.full((1, B, nu), 0.2)
+
+    solver = ref_mpc.MPC(
+        nx, nu, T,
+        u_lower=-0.5, u_upper=0.5,
+        lqr_iter=10, verbose=-1, n_batch=B,
+        exit_unconverged=False, detach_unconverged=False,
+        eps=1e-7,
+        slew_rate_penalty=1.5,
+        prev_ctrl=prev_u,
+    )
+    x, u, objs = solver(x_init, ref_mpc.QuadCost(C, c), ref_mpc.LinDx(F, f))
+    ref_mpc.LQRStep = orig_LQRStep
+    save("lqr_slew_lindx_f64", C=C, c=c, F=F, f=f, x_init=x_init,
+         prev_u=prev_u[0], x=x.detach(), u=u.detach(), objs=objs.detach())
+
+
+def _rocket_xinit(B):
+    torch.manual_seed(31)
+    xinit = torch.zeros(B, 13)
+    xinit[:, 0] = torch.rand(B) * 2 + 2        # altitude (x is vertical)
+    xinit[:, 1:3] = torch.randn(B, 2) * 0.5    # lateral offset
+    xinit[:, 3:6] = torch.randn(B, 3) * 0.2    # velocity
+    quat = torch.randn(B, 4) * 0.05
+    quat[:, 0] += 1.0
+    xinit[:, 6:10] = quat / quat.norm(dim=1, keepdim=True)
+    xinit[:, 10:] = torch.randn(B, 3) * 0.05   # body rates
+    return xinit
+
+
+def golden_rocket_mpc():
+    """Rocket solver-level parity: mpc_explicit.py, f64, box +-20, both
+    quaternion-normalization behaviors (the reference computes the
+    normalized quaternion into new_x_out but returns the unnormalized
+    new_x, rocket.py:158-164; the 'norm' variant patches the return to
+    new_x_out to pin our normalize_quat=True flag)."""
+    sys.path.insert(0, os.path.join(REF, "env_dx"))
+    from mpc_explicit import MPC as ExMPC
+    from mpc_explicit import GradMethods, QuadCost
+    from env_dx import rocket
+
+    torch.set_default_dtype(torch.float64)
+    T, B = 10, 4
+    xinit = _rocket_xinit(B)
+
+    for tag, normalize in [("", False), ("_norm", True)]:
+        dx = rocket.RocketDx()
+        dx.params = dx.params.detach().double()
+        if normalize:
+            orig = rocket.RocketDx.forward
+
+            def norm_forward(self, x, u, _orig=orig):
+                out = _orig(self, x, u)
+                q = out[..., 6:10]
+                nq = q / (q.norm(dim=-1, keepdim=True) + 1e-8)
+                out = out.clone()
+                out[..., 6:10] = nq
+                return out
+
+            dx.forward = norm_forward.__get__(dx)
+        q, p = dx.get_true_obj()
+        Q = torch.diag(q.double()).unsqueeze(0).unsqueeze(0).repeat(T, B, 1, 1)
+        pT = p.double().unsqueeze(0).repeat(T, B, 1)
+        x, u, objs = ExMPC(
+            dx.n_state, dx.n_ctrl, T,
+            # scalar bounds: mpc_explicit's get_bound time-indexes any
+            # tensor bound (lqr_step_explicit.py:270-274), so the [nu]
+            # dx.lower/upper tensors cannot be passed through verbatim
+            u_lower=-20.0, u_upper=20.0,
+            lqr_iter=20, verbose=-1,
+            exit_unconverged=False, detach_unconverged=False,
+            linesearch_decay=dx.linesearch_decay,
+            max_linesearch_iter=dx.max_linesearch_iter,
+            grad_method=GradMethods.ANALYTIC if not normalize
+            else GradMethods.AUTO_DIFF,
+            eps=dx.mpc_eps,
+        )(xinit, QuadCost(Q, pT), dx)
+        save(f"mpc_rocket{tag}_f64", x_init=xinit, q=q.detach(),
+             p=p.detach(), x=x.detach(), u=u.detach(), objs=objs.detach())
+
+
+def golden_rocket_receding():
+    """Receding-horizon rocket segment with the demo's warm-start shift
+    u_init <- cat(u[1:], u[-1:]) (rocket.py:1120-1140), f64,
+    unconstrained, 5 closed-loop steps."""
+    sys.path.insert(0, os.path.join(REF, "env_dx"))
+    from mpc_explicit import MPC as ExMPC
+    from mpc_explicit import GradMethods, QuadCost
+    from env_dx import rocket
+
+    torch.set_default_dtype(torch.float64)
+    T, steps = 20, 5
+    dx = rocket.RocketDx()
+    dx.params = dx.params.detach().double()
+    q, p = dx.get_true_obj()
+    Q = torch.diag(q.double()).unsqueeze(0).unsqueeze(0).repeat(T, 1, 1, 1)
+    pT = p.double().unsqueeze(0).repeat(T, 1, 1)
+    x = _rocket_xinit(1)
+    u_init = None
+    xs, us = [x.clone()], []
+    for _ in range(steps):
+        nx_, nu_, _objs = ExMPC(
+            dx.n_state, dx.n_ctrl, T,
+            u_init=u_init,
+            u_lower=None, u_upper=None,
+            lqr_iter=30, verbose=-1,
+            exit_unconverged=False, detach_unconverged=False,
+            linesearch_decay=dx.linesearch_decay,
+            max_linesearch_iter=dx.max_linesearch_iter,
+            grad_method=GradMethods.ANALYTIC,
+            eps=1e-2,
+        )(x, QuadCost(Q, pT), dx)
+        next_action = nu_[0]
+        us.append(next_action.clone())
+        u_init = torch.cat((nu_[1:], nu_[-1:]), dim=0)
+        x = dx(x, next_action)
+        xs.append(x.clone())
+    save("rocket_receding_f64",
+         x_init=xs[0], q=q.detach(), p=p.detach(),
+         xs=torch.stack(xs).detach()[:, 0],
+         us=torch.stack(us).detach()[:, 0])
+
+
+def golden_populate_data2():
+    """populate_data2 receding-horizon expert generator incl. the
+    warm-start shift with the u_init[-2] = u_init[-3] quirk
+    (il_env.py:96-151, shift at :139), f64 pendulum."""
+    sys.modules.setdefault("setproctitle", types.ModuleType("setproctitle"))
+    sys.modules["setproctitle"].setproctitle = lambda *a, **k: None
+    sys.modules.setdefault("gym", types.ModuleType("gym"))
+    import il_env
+
+    torch.set_default_dtype(torch.float64)
+    env = il_env.IL_Env("pendulum", lqr_iter=10, mpc_T=10)
+    env.true_dx.params = env.true_dx.params.detach().double()
+    env.populate_data2(2, 1, 1, seed=0)
+    save("populate_data2_pendulum_f64",
+         train=env.train_data.detach(),
+         val=env.val_data.detach(),
+         test=env.test_data.detach())
+
+
+def golden_kkt_nonlinear():
+    """Nonlinear-env module-KKT gradient golden: mpc.py AUTO_DIFF forward +
+    lqr_step.py KKT backward on the pendulum, chaining through the
+    diff=True linearization to the dynamics params
+    (mpc.py:308-319 + lqr_step.py:311-407)."""
+    sys.path.insert(0, os.path.join(REF, "env_dx"))
+    import mpc as ref_mpc
+    from env_dx import pendulum
+
+    torch.set_default_dtype(torch.float64)
+    torch.manual_seed(51)
+    T, B = 10, 4
+    dx = pendulum.PendulumDx()
+    dx.params = dx.params.detach().double().requires_grad_(True)
+    th = torch.rand(B) * 2 - 1
+    xinit = torch.stack(
+        (torch.cos(th), torch.sin(th), torch.rand(B) - 0.5), dim=1
+    ).requires_grad_(True)
+    q, p = dx.get_true_obj()
+    C = (
+        torch.diag(q.double()).unsqueeze(0).unsqueeze(0).repeat(T, B, 1, 1)
+    ).requires_grad_(True)
+    c = (p.double().unsqueeze(0).repeat(T, B, 1)).requires_grad_(True)
+    gx = torch.randn(T, B, 3)
+    gu = torch.randn(T, B, 1)
+
+    x, u, _ = ref_mpc.MPC(
+        3, 1, T,
+        u_lower=-2.0, u_upper=2.0,
+        lqr_iter=12, verbose=-1,
+        exit_unconverged=False, detach_unconverged=False,
+        linesearch_decay=dx.linesearch_decay,
+        max_linesearch_iter=dx.max_linesearch_iter,
+        grad_method=ref_mpc.GradMethods.AUTO_DIFF,
+        eps=1e-5,
+    )(xinit, ref_mpc.QuadCost(C, c), dx)
+    loss = (x * gx).sum() + (u * gu).sum()
+    dparams, dC, dc, dx_init = torch.autograd.grad(
+        loss, [dx.params, C, c, xinit]
+    )
+    save("kkt_nonlinear_pendulum_f64",
+         x_init=xinit.detach(), C=C.detach(), c=c.detach(),
+         gx=gx, gu=gu, x=x.detach(), u=u.detach(),
+         dparams=dparams, dC=dC, dc=dc, dx_init=dx_init)
+
+
 if __name__ == "__main__":
+    if "r2" in sys.argv[1:]:
+        golden_slew_lindx()
+        golden_rocket_mpc()
+        golden_rocket_receding()
+        golden_populate_data2()
+        golden_kkt_nonlinear()
+        print("round-2 goldens written")
+        sys.exit(0)
     golden_pnqp()
     golden_lqr_lindx()
     golden_lqr_grad()
@@ -419,4 +653,9 @@ if __name__ == "__main__":
     golden_u_zero_delta_u()
     golden_nn_dynamics()
     golden_module_cost()
+    golden_slew_lindx()
+    golden_rocket_mpc()
+    golden_rocket_receding()
+    golden_populate_data2()
+    golden_kkt_nonlinear()
     print("all goldens written")

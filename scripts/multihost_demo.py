@@ -1,0 +1,153 @@
+"""Multi-host launcher: runs the sharded solve + one distributed IL
+training step under jax.distributed, verifying the distributed numerics
+against a single-process reference computed locally.
+
+Run the SAME command on every host/process (SURVEY.md section 2.4's
+"jax.distributed.initialize + one Mesh axis spanning all chips"):
+
+  TPU pod (one process per host, auto-coordination):
+      python scripts/multihost_demo.py
+
+  Local CPU test cluster (what tests/test_multihost.py spawns):
+      python scripts/multihost_demo.py \
+          --coordinator localhost:PORT --num-processes 2 --process-id I \
+          --cpu-devices 2
+
+Prints one line per process:  MULTIHOST OK ...  (exit 0) on success.
+"""
+import argparse
+import os
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument(
+        "--cpu-devices", type=int, default=0,
+        help="force N virtual CPU devices per process (local test cluster)",
+    )
+    ap.add_argument("--batch-per-process", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.cpu_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.cpu_devices}"
+            ).strip()
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import jax
+
+    if args.cpu_devices:
+        # the container's TPU plugin overrides JAX_PLATFORMS at interpreter
+        # start; force the CPU backend via config (as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+
+    from dilqr_tpu.parallel import multihost as mh
+
+    mh.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    import dilqr_tpu
+    from dilqr_tpu import BackwardMode, ILQRConfig, QuadCost
+    from dilqr_tpu.models import pendulum
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    n_dev = len(jax.devices())
+    mesh = mh.global_batch_mesh()
+
+    # --- problem: every process can build the FULL deterministic batch ---
+    dyn, params0 = pendulum.make(), pendulum.default_params()
+    q, p = pendulum.get_true_obj()
+    Bl = args.batch_per_process
+    Bg = Bl * nproc
+    T = 8
+    th = np.linspace(-1.2, 1.2, Bg)
+    x_full = np.stack(
+        [np.cos(th), np.sin(th), np.linspace(-0.5, 0.5, Bg)], axis=1
+    ).astype(np.float32)
+    u_expert_full = np.zeros((Bg, T, 1), np.float32)
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=6, eps=1e-4,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False,
+        backward_mode=BackwardMode.IFT,
+        backend="xla",  # CPU cluster has no Pallas lowering
+    )
+
+    # --- single-process reference (local devices only, plain solve) ------
+    ref = dilqr_tpu.solve(
+        cfg, jnp.asarray(x_full), QuadCost(jnp.diag(q), p), dyn,
+        params=params0, u_lower=dyn.lower, u_upper=dyn.upper,
+    )
+    ref_u = np.asarray(ref.u)
+
+    # --- distributed solve: each process feeds only ITS local shard ------
+    x_local = x_full[pid * Bl : (pid + 1) * Bl]
+    res = mh.multihost_solve(
+        mesh, cfg, x_local, QuadCost(jnp.diag(q), p), dyn,
+        params=params0, u_lower=dyn.lower, u_upper=dyn.upper,
+    )
+    u_all = mh.gather(res.u)
+    err_solve = float(np.abs(u_all - ref_u).max())
+    assert err_solve <= 1e-6, f"distributed solve mismatch: {err_solve:.2e}"
+    assert res.u.sharding.is_fully_addressable is (nproc == 1)
+
+    # --- one distributed IL training step vs the local reference --------
+    opt = optax.rmsprop(1e-2, decay=0.5)
+
+    def local_step(params, opt_state, x, ue):
+        def loss_fn(pp):
+            r = dilqr_tpu.solve(
+                cfg, x, QuadCost(jnp.diag(q), p), dyn, params=pp,
+                u_lower=dyn.lower, u_upper=dyn.upper,
+            )
+            return jnp.mean((r.u - ue) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), loss
+
+    params_ref, loss_ref = jax.jit(local_step)(
+        params0, opt.init(params0), jnp.asarray(x_full),
+        jnp.asarray(u_expert_full),
+    )
+
+    step = mh.multihost_train_step(mesh, cfg, dyn, opt)
+    params_g = mh.replicate(mesh, params0)
+    opt_state_g = mh.replicate(mesh, opt.init(params0))
+    x_g = mh.distribute_batch(mesh, x_local)
+    ue_g = mh.distribute_batch(mesh, u_expert_full[pid * Bl : (pid + 1) * Bl])
+    q_g, p_g = mh.replicate(mesh, (q, p))
+    params_new, _, loss = step(params_g, opt_state_g, x_g, ue_g, q_g, p_g)
+
+    err_params = float(
+        np.abs(np.asarray(params_new) - np.asarray(params_ref)).max()
+    )
+    err_loss = abs(float(loss) - float(loss_ref))
+    assert err_params <= 1e-6, f"distributed train step params: {err_params:.2e}"
+    assert err_loss <= 1e-7, f"distributed train step loss: {err_loss:.2e}"
+
+    print(
+        f"MULTIHOST OK proc {pid}/{nproc} devices={n_dev} "
+        f"B_global={Bg} err_solve={err_solve:.2e} "
+        f"err_params={err_params:.2e} loss={float(loss):.6f}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

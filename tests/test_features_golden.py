@@ -59,6 +59,43 @@ def test_slew_rate_golden(golden):
     )
 
 
+def test_slew_rate_lindx_golden(golden):
+    """Slew penalty with LinDx dynamics: the augmented-LinDx block build
+    (core/solver.augment_slew_rate) vs the reference's _F0/_F1 blocks
+    (mpc.py:381-395; golden generated with the reference's
+    true_dynamics=None crash repaired, see make_goldens.golden_slew_lindx)."""
+    g = golden("lqr_slew_lindx_f64")
+    T, B, nx = g["x"].shape
+    nu = g["u"].shape[2]
+    cfg = ILQRConfig(
+        n_state=nx,
+        n_ctrl=nu,
+        T=T,
+        lqr_iter=10,
+        eps=1e-7,
+        detach_unconverged=False,
+        exit_unconverged=False,
+        slew_rate_penalty=1.5,
+        backprop=False,
+        qp_solver="pnqp",
+    )
+    res = dilqr_tpu.solve(
+        cfg,
+        jnp.asarray(g["x_init"], F64),
+        QuadCost(_bm(g["C"]), _bm(g["c"])),
+        LinDx(_bm(g["F"]), _bm(g["f"])),
+        u_lower=-0.5,
+        u_upper=0.5,
+        prev_ctrl=jnp.asarray(g["prev_u"], F64),
+    )
+    np.testing.assert_allclose(
+        np.swapaxes(np.asarray(res.u), 0, 1), g["u"], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.swapaxes(np.asarray(res.x), 0, 1), g["x"], atol=1e-6
+    )
+
+
 def test_u_zero_golden(golden):
     g = golden("lqr_uzero_f64")
     T, B, nx = g["x"].shape

@@ -87,17 +87,124 @@ def test_ift_matches_unrolled():
         assert err <= 1e-4, f"{n}: IFT vs UNROLL rel err {err:.2e}\n{a}\n{b}"
 
 
-def test_kkt_runs_and_is_finite():
-    """The O(T) module-KKT mode produces finite gradients of the same
-    shapes (its values intentionally omit the fixed-point correction --
-    that gap is the DiLQR paper's contribution)."""
-    dyn, params, x_init, q, p, wx, wu, cfg = _setup(T=8, B=2)
-    cfg_kkt = dataclasses.replace(cfg, backward_mode=BackwardMode.KKT)
-    g = jax.grad(_loss_fn(cfg_kkt, dyn, x_init, wx, wu), argnums=(0, 1, 2))(
-        params, jnp.diag(q), p
+def test_kkt_nonlinear_golden(golden):
+    """Full nonlinear module-KKT gradient chain vs the reference:
+    mpc.py AUTO_DIFF forward + lqr_step.py:311-407 backward through the
+    diff=True linearization (mpc.py:308-319) to the pendulum's dynamics
+    params, plus dC/dc/dx_init. f64, exact forward parity first, then
+    gradients at <=2e-3 relative (the KKT dC/dc comparison inherits the
+    active-set freeze's sensitivity to ulp-level boundary decisions)."""
+    from dilqr_tpu.models import pendulum as penv
+
+    g = golden("kkt_nonlinear_pendulum_f64")
+    dyn = penv.make()
+    T = g["u"].shape[0]
+    F64 = jnp.float64
+    cfg = ILQRConfig(
+        n_state=3,
+        n_ctrl=1,
+        T=T,
+        lqr_iter=12,
+        eps=1e-5,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        detach_unconverged=False,
+        exit_unconverged=False,
+        backward_mode=BackwardMode.KKT,
+        qp_solver="pnqp",
+        # the reference's AUTO_DIFF diff=True linearization omits the
+        # dF/dtheta chain (autograd.grad without create_graph,
+        # mpc.py:538-549); reproduce that for gradient parity
+        kkt_grad_through_F=False,
     )
-    for a in g:
-        assert np.isfinite(np.asarray(a)).all()
+    bm = lambda a: jnp.swapaxes(jnp.asarray(a, F64), 0, 1)
+    gx, gu = bm(g["gx"]), bm(g["gu"])
+    x_init = jnp.asarray(g["x_init"], F64)
+    params0 = jnp.asarray(penv.default_params(), F64)
+
+    def loss(params, C, c, xi):
+        res = dilqr_tpu.solve(
+            cfg, xi, QuadCost(C, c), dyn, params=params,
+            u_lower=-2.0, u_upper=2.0,
+        )
+        return jnp.sum(res.x * gx) + jnp.sum(res.u * gu)
+
+    (x, u), _ = jax.vjp(
+        lambda p_: (lambda r: (r.x, r.u))(
+            dilqr_tpu.solve(
+                cfg, x_init, QuadCost(bm(g["C"]), bm(g["c"])), dyn,
+                params=p_, u_lower=-2.0, u_upper=2.0,
+            )
+        ),
+        params0,
+    )
+    # forward parity gate: gradients are only comparable at the same point
+    np.testing.assert_allclose(
+        np.swapaxes(np.asarray(u), 0, 1), g["u"], atol=1e-8
+    )
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        params0, bm(g["C"]), bm(g["c"]), x_init
+    )
+    refs = [
+        g["dparams"],
+        np.swapaxes(g["dC"], 0, 1),
+        np.swapaxes(g["dc"], 0, 1),
+        g["dx_init"],
+    ]
+    for a, b, n in zip(grads, refs, ["dparams", "dC", "dc", "dx_init"]):
+        a, b = np.asarray(a), np.asarray(b)
+        if n == "dC":
+            a = 0.5 * (a + np.swapaxes(a, -1, -2))
+            b = 0.5 * (b + np.swapaxes(b, -1, -2))
+        scale = max(1.0, np.abs(b).max())
+        err = np.abs(a - b).max() / scale
+        assert err <= 2e-3, f"{n}: KKT vs reference rel err {err:.2e}"
+
+
+def test_ift_underconverged_falls_back_to_dense():
+    """A deliberately starved GMRES budget (restart=1, maxiter=1,
+    tol=1e-10) cannot meet tolerance, so the residual check must route the
+    adjoint solve to the dense probing fallback (cfg.ift_fallback) -- the
+    gradients then equal ift_solver="dense" exactly. Guards VERDICT round-1
+    weakness #3: silently under-converged IFT gradients."""
+    dyn, params, x_init, q, p, wx, wu, cfg = _setup(T=6, B=2)
+    C, c = jnp.diag(q), p
+    base = dataclasses.replace(
+        cfg,
+        lqr_iter=2,  # under-converged forward: weak contraction
+        backward_mode=BackwardMode.IFT,
+        ift_tol=1e-10,
+        ift_restart=1,
+        ift_maxiter=1,
+    )
+    cfg_fb = dataclasses.replace(base, ift_fallback=True)
+    cfg_dense = dataclasses.replace(base, ift_solver="dense")
+    cfg_nofb = dataclasses.replace(base, ift_fallback=False)
+
+    g_fb = jax.grad(_loss_fn(cfg_fb, dyn, x_init, wx, wu), argnums=(0, 1, 2))(
+        params, C, c
+    )
+    g_d = jax.grad(
+        _loss_fn(cfg_dense, dyn, x_init, wx, wu), argnums=(0, 1, 2)
+    )(params, C, c)
+    g_raw = jax.grad(
+        _loss_fn(cfg_nofb, dyn, x_init, wx, wu), argnums=(0, 1, 2)
+    )(params, C, c)
+
+    for a, b, n in zip(g_fb, g_d, ["dtheta", "dC", "dc"]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, np.abs(b).max())
+        assert np.abs(a - b).max() / scale <= 1e-6, (
+            f"{n}: fallback did not reproduce the dense solve"
+        )
+    # sanity: the starved GMRES result alone is NOT the dense answer
+    # (otherwise this test exercises nothing)
+    diff = max(
+        np.abs(np.asarray(a) - np.asarray(b)).max()
+        for a, b in zip(g_raw, g_d)
+    )
+    assert diff > 1e-8, "starved GMRES unexpectedly converged; tighten setup"
 
 
 def test_dense_ift_matches_gmres():
