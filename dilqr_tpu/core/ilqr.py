@@ -169,6 +169,8 @@ def ilqr_loop(
                     None if u_init_zero else u_init,
                     u_lower=u_lower,
                     u_upper=u_upper,
+                    u_zero_I=u_zero_I,
+                    delta_u=delta_u,
                     cost_small=cost_small,
                     interpret=interpret,
                 )
@@ -234,7 +236,9 @@ def ilqr_loop(
     def body(carry):
         (u, bx, bu, bc, bdu, nni, cur_du, i) = carry
         new_x, new_u, out, n_qp = iteration(u)
-        if cfg.verbose >= 1:
+        from ..utils.callbacks import supports_host_callback
+
+        if cfg.verbose >= 1 and supports_host_callback():
             from ..utils.logging import debug_table_log
 
             debug_table_log(

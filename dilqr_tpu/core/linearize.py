@@ -123,7 +123,10 @@ def linearize_dynamics(
                     f"Jacobian max err {float(e):.3e}"
                 )
 
-        jax.debug.callback(_warn, err)
+        from ..utils.callbacks import supports_host_callback
+
+        if supports_host_callback():
+            jax.debug.callback(_warn, err)
 
     new_x = jax.vmap(lambda xi, ui: step_fn(xi, ui, params))(xf, uf)
     f = new_x - bmv(R, xf) - bmv(S, uf)

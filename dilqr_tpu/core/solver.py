@@ -272,7 +272,10 @@ def solve(
                     "asserts here, mpc.py:323-324)"
                 )
 
-        jax.debug.callback(_warn_unconverged, converged)
+        from ..utils.callbacks import supports_host_callback
+
+        if supports_host_callback():
+            jax.debug.callback(_warn_unconverged, converged)
 
     return SolveResult(
         x=jnp.swapaxes(x, 0, 1),

@@ -264,7 +264,10 @@ def solve_with_grad(
                             )
                         )
 
-                jax.debug.callback(_warn, bad, res, b_norm)
+                from ..utils.callbacks import supports_host_callback
+
+                if supports_host_callback():
+                    jax.debug.callback(_warn, bad, res, b_norm)
                 if cfg.ift_fallback:
                     # a weakly-contracting fixed point (under-converged
                     # forward solve) defeats GMRES(m); the dense probe is

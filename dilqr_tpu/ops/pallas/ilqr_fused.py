@@ -67,22 +67,51 @@ PNQP_CONV = 1e-4
 PNQP_ARMIJO_ITER = 10
 
 
-def _vmem_bytes(cfg: ILQRConfig) -> int:
+def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False) -> int:
     """Approximate per-tile VMEM footprint (f32 lanes tiles): declared
     scratch (F_t/c_back recomputed at use site, trials cost-only, so only
     trajectory, gains, and trackers persist) plus the Riccati step's live
     temporaries (Q, tmp, F, V and spill margin), which scale with n^2 --
     calibrated against a measured Mosaic allocation of 17.5 MB for the
-    rocket at T=40 (10.25 MB scratch + ~7 MB temporaries)."""
+    rocket at T=40 (10.25 MB scratch + ~7 MB temporaries).
+
+    stream_k: the long-horizon mode keeps only a 2-slot staging buffer for
+    K in VMEM and double-buffers the [T, nu, nx] gain stack through HBM
+    (async DMA), so the per-timestep cost drops from 2nu+nx+nu*nx tiles to
+    2nu+nx -- rocket T=40 fits with ~5 MB to spare."""
     T, nx, nu = cfg.T, cfg.n_state, cfg.n_ctrl
     n = nx + nu
-    per_t = 2 * nu + nx + nu * nx  # u, k, x, K (trials are cost-only)
-    scratch = T * per_t + nx * nx + nx + 2  # + cc + old_cost tiles
+    if stream_k:
+        per_t = 2 * nu + nx           # u, k, x (K staged, 2 slots)
+        k_tiles = 2 * nu * nx
+    else:
+        per_t = 2 * nu + nx + nu * nx  # u, k, x, K (trials are cost-only)
+        k_tiles = 0
+    scratch = T * per_t + k_tiles + nx * nx + nx + 2  # + cc + old_cost
     temps = 2 * (n * n + 2 * nx * n + nx * nx)
     return (scratch + temps) * BT * 4
 
 
 VMEM_SCRATCH_LIMIT = 15 * 1024 * 1024  # of the 16 MB/core
+
+
+def use_stream_k(cfg: ILQRConfig) -> bool:
+    """Long horizons whose full K stack busts the VMEM budget stream K
+    through HBM instead of falling back to the ~13x slower XLA scan."""
+    return (
+        _vmem_bytes(cfg, stream_k=False) > VMEM_SCRATCH_LIMIT
+        and _vmem_bytes(cfg, stream_k=True) <= VMEM_SCRATCH_LIMIT
+    )
+
+
+def _static_scalar(v):
+    """Concrete scalar -> float; None/traced/array -> None."""
+    if v is None or isinstance(v, jax.core.Tracer):
+        return None
+    import numpy as np
+
+    a = np.asarray(v)
+    return float(a) if a.ndim == 0 else None
 
 
 def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
@@ -91,8 +120,7 @@ def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
         isinstance(cost, QuadCost)
         and isinstance(dyn, Dynamics)
         and 1 <= cfg.n_ctrl <= MAX_NU
-        and u_zero_I is None
-        and delta_u is None
+        and (delta_u is None or _static_scalar(delta_u) is not None)
         and cfg.qp_solver == "auto"
         and not cfg.unroll
         and cfg.verbose < 1
@@ -100,7 +128,7 @@ def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
         and dyn.jacobian is None
         and dtype == jnp.float32
         and _is_flat_params(params)
-        and _vmem_bytes(cfg) <= VMEM_SCRATCH_LIMIT
+        and _vmem_bytes(cfg, stream_k=use_stream_k(cfg)) <= VMEM_SCRATCH_LIMIT
     )
 
 
@@ -307,12 +335,20 @@ def _ilqr_kernel(
     # statics bound via partial:
     T, nx, nu, n_params, lqr_iter, pnqp_iter, eps, ls_decay, max_ls_iter,
     best_cost_eps, not_improved_lim, step_fn, lin_fn, cost_mode, u0_zero,
-    bounds_static,
+    bounds_static, stream_k, uz_present, delta_u_static, unbounded,
     *refs,
 ):
     """cost_mode: "lanes" (C_ref/c_ref per-example lane tensors) or "smem"
     (Cs_ref (Tc, n*n) / cs_ref (Tc, n) SMEM scalars, Tc in {1, T}).
-    u0_zero: warm start is zeros -> no u0 input ref."""
+    u0_zero: warm start is zeros -> no u0 input ref.
+    stream_k: gains live in an HBM buffer (extra raw output K_hbm), staged
+    through a 2-slot VMEM buffer with async DMA -- the long-horizon mode
+    (see use_stream_k).
+    uz_present: a [T, nu] 0/1 lane input forces u_i = 0 -- masked gains
+    when unbounded (reference lqr_step.py:99-127), rollout masking always
+    (lqr_step.py:197-198). delta_u_static: scalar trust region intersected
+    into the QP delta bounds (lqr_step.py:132-135) and the rollout clamp
+    around the current iterate (lqr_step.py:200-213)."""
     n = nx + nu
     f32 = jnp.float32
 
@@ -329,20 +365,83 @@ def _ilqr_kernel(
     if bounds_static is None:
         lb_ref = next(it_r)
         ub_ref = next(it_r)
+    uz_ref = next(it_r) if uz_present else None
     bx_ref = next(it_r)
     bu_ref = next(it_r)
     bc_ref = next(it_r)
     bdu_ref = next(it_r)
     it_ref = next(it_r)
+    K_hbm_ref = next(it_r) if stream_k else None
     u_ref = next(it_r)
     x_ref = next(it_r)
-    K_ref = next(it_r)
+    K_ref = next(it_r)  # VMEM [T,nu,nx,...] or 2-slot staging [2,nu,nx,...]
     k_ref = next(it_r)
     V_ref = next(it_r)
     v_ref = next(it_r)
     cc_ref = next(it_r)
     oc_ref = next(it_r)
     flags_ref = next(it_r)
+    if stream_k:
+        wsem = next(it_r)
+        rsem = next(it_r)
+
+    # --- K storage strategy -------------------------------------------------
+    # VMEM mode: K_ref[t] directly. Stream mode: the backward sweep writes
+    # K_t via staging slot i%2 (waiting for the copy issued two steps ago
+    # before reusing the slot), forward sweeps prefetch t+1 into slot
+    # (t+1)%2 while consuming slot t%2 -- the double-buffering pattern, so
+    # DMA rides under the env-step/objective compute.
+    if stream_k:
+        g_id = pl.program_id(0)
+
+        def _wdma(slot, t):
+            return pltpu.make_async_copy(
+                K_ref.at[slot], K_hbm_ref.at[g_id, t], wsem.at[slot]
+            )
+
+        def _rdma(slot, t):
+            return pltpu.make_async_copy(
+                K_hbm_ref.at[g_id, t], K_ref.at[slot], rsem.at[slot]
+            )
+
+        def k_write(i, t, K):
+            slot = lax.rem(i, 2)
+
+            @pl.when(i >= 2)
+            def _():
+                _wdma(slot, t + 2).wait()
+
+            K_ref[slot] = K
+            _wdma(slot, t).start()
+
+        def k_write_flush():
+            for j in range(max(T - 2, 0), T):
+                _wdma(j % 2, T - 1 - j).wait()
+
+        def k_sweep_begin():
+            _rdma(0, 0).start()
+
+        def K_at(t):
+            @pl.when(t + 1 < T)
+            def _():
+                _rdma(lax.rem(t + 1, 2), t + 1).start()
+
+            slot = lax.rem(t, 2)
+            _rdma(slot, t).wait()
+            return K_ref[slot]
+    else:
+
+        def k_write(i, t, K):
+            K_ref[t] = K
+
+        def k_write_flush():
+            pass
+
+        def k_sweep_begin():
+            pass
+
+        def K_at(t):
+            return K_ref[t]
 
     if cost_mode == "lanes":
         Cmat = lambda t: C_ref[t]                     # [n,n,8,128]
@@ -479,8 +578,35 @@ def _ilqr_kernel(
                 qu = q[nx:]
                 lb = lb_at(t) - u_ref[t]
                 ub = ub_at(t) - u_ref[t]
+                if delta_u_static is not None:
+                    # trust region intersected into the delta-space QP
+                    # bounds (lqr_step.py:132-135)
+                    lb = jnp.maximum(lb, -delta_u_static)
+                    ub = jnp.minimum(ub, delta_u_static)
 
-                if nu == 1:
+                if unbounded and uz_present:
+                    # zero-control equality constraints (lqr_step.py:99-127,
+                    # the reference's unbounded branch; boxed solves ignore
+                    # the mask in the backward): free-subspace solve with
+                    # the masked Hessian + 1e-8 on frozen diagonals
+                    Iz = uz_ref[t]                       # [nu,8,128]
+                    notI = 1.0 - Iz
+                    qu_ = qu * notI
+                    eyeI = jnp.stack([
+                        jnp.stack([
+                            Iz[a] if a == b else jnp.zeros((8, 128), f32)
+                            for b in range(nu)
+                        ]) for a in range(nu)
+                    ])
+                    H_free = Quu * notI[:, None] * notI[None] + 1e-8 * eyeI
+                    If = notI
+                    if nu == 1:
+                        # reference quirk (lqr_step.py:121-123): k divides
+                        # by the UNmasked Quu
+                        kt = -qu_ / Quu[0, 0]
+                    else:
+                        kt = -_mv(_inv_lanes(H_free, nu), qu_)
+                elif nu == 1:
                     # exact closed-form 1-D box-QP (see ops/riccati.py)
                     H = Quu[0, 0]
                     kt = jnp.clip(-qu / H, lb, ub)
@@ -519,11 +645,12 @@ def _ilqr_kernel(
                 vn = qx + _mv(Qxu, kt) + _mv(KT, qu) + _mv(KT, _mv(Quu, kt))
                 V_ref[...] = Vn
                 v_ref[...] = vn
-                K_ref[t] = K
+                k_write(i, t, K)
                 k_ref[t] = kt
                 return 0
 
             lax.fori_loop(0, T, ric_body, 0)
+            k_write_flush()
 
             # ---- 5) batched backtracking line search ----
             # trials are COST-ONLY (no trajectory storage); the accepted
@@ -533,9 +660,19 @@ def _ilqr_kernel(
             # needed (a (nx+nu) VMEM tile per timestep saved)
             def trial_step(t, xt, alpha):
                 dxt = xt - x_ref[t]
-                new_u = _mv(K_ref[t], dxt) + u_ref[t] \
+                new_u = _mv(K_at(t), dxt) + u_ref[t] \
                     + alpha[None] * k_ref[t]
-                new_u = jnp.clip(new_u, lb_at(t), ub_at(t))
+                if uz_present:
+                    # zero masked coords BEFORE clamping (the reference's
+                    # order, lqr_step.py:197-213)
+                    new_u = new_u * (1.0 - uz_ref[t])
+                lo, hi = lb_at(t), ub_at(t)
+                if delta_u_static is not None:
+                    # clamp widened around the current iterate
+                    # (lqr_step.py:203-211)
+                    lo = jnp.maximum(u_ref[t] - delta_u_static, lo)
+                    hi = jnp.minimum(u_ref[t] + delta_u_static, hi)
+                new_u = jnp.clip(new_u, lo, hi)
                 return new_u
 
             def trial(alpha, record_du):
@@ -548,6 +685,7 @@ def _ilqr_kernel(
                     cost = cost + obj_t(t, xt, new_u)
                     return step(xt, new_u), cost, du2
 
+                k_sweep_begin()
                 z = jnp.zeros((8, 128), f32)
                 _, cost, du2 = lax.fori_loop(0, T, tbody, (x_init, z, z))
                 return cost, du2
@@ -590,6 +728,7 @@ def _ilqr_kernel(
                 bu_ref[t] = jnp.where(impx[0], new_u, bu_ref[t])
                 return step(xt, new_u)
 
+            k_sweep_begin()
             lax.fori_loop(0, T, accept, x_init)
 
             oc_ref[...] = cc  # accepted iterate's cost = next old_cost
@@ -619,8 +758,11 @@ def ilqr_fused(
     u_init: Optional[jax.Array],  # [T, B, nu]; None = zeros warm start
     u_lower=None,
     u_upper=None,
+    u_zero_I: Optional[jax.Array] = None,  # [T, B, nu] bool: force u_i = 0
+    delta_u=None,        # concrete scalar trust region (lqr_step.py:200-213)
     cost_small=None,     # optional pre-broadcast (C, c): [n,n]/[T,n,n] etc.
     interpret: bool = False,
+    force_stream_k: Optional[bool] = None,  # tests only; None = auto
 ):
     """Run the fused whole-solve kernel. Returns time-major
     (x [T,B,nx], u [T,B,nu], costs [B], full_du_norm [B], n_iter [])."""
@@ -687,6 +829,17 @@ def ilqr_fused(
         u_in = [to_lanes(u_p, T, Bp)]          # [T,nu,G,8,128]
         u_specs = [bspec(T, (nu,))]
 
+    uz_in = []
+    uz_specs = []
+    uz_present = u_zero_I is not None
+    if uz_present:
+        uz_p = pad_batch(u_zero_I.astype(f32), B, Bp)
+        uz_in = [to_lanes(uz_p, T, Bp)]        # [T,nu,G,8,128] floats 0/1
+        uz_specs = [bspec(T, (nu,))]
+
+    delta_u_static = _static_scalar(delta_u)
+    unbounded = u_lower is None
+
     bounds_static = _static_bounds(u_lower, u_upper, nu)
     if bounds_static is None:
         bound_in = [
@@ -701,50 +854,72 @@ def ilqr_fused(
     xi_p = pad_batch(x_init.astype(f32)[None], B, Bp)[0]  # [Bp, nx]
     xi_l = xi_p.T.reshape(nx, G, 8, 128)
 
+    stream_k = use_stream_k(cfg) if force_stream_k is None else force_stream_k
     kernel = functools.partial(
         _ilqr_kernel, T, nx, nu, n_params, cfg.lqr_iter, cfg.pnqp_iter,
         cfg.eps, cfg.linesearch_decay, cfg.max_linesearch_iter,
         cfg.best_cost_eps, cfg.not_improved_lim, dyn.step,
-        dyn.linearize_point, cost_mode, u0_zero, bounds_static,
+        dyn.linearize_point, cost_mode, u0_zero, bounds_static, stream_k,
+        uz_present, delta_u_static, unbounded,
     )
+
+    out_specs = [
+        bspec(T, (nx,)),     # bx
+        bspec(T, (nu,)),     # bu
+        bspec(None, ()),     # bc
+        bspec(None, ()),     # bdu
+        bspec(None, ()),     # iters
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, nx, G, 8, 128), f32),
+        jax.ShapeDtypeStruct((T, nu, G, 8, 128), f32),
+        jax.ShapeDtypeStruct((G, 8, 128), f32),
+        jax.ShapeDtypeStruct((G, 8, 128), f32),
+        jax.ShapeDtypeStruct((G, 8, 128), f32),
+    ]
+    if stream_k:
+        # long-horizon mode: the [T, nu, nx] gain stack lives in
+        # compiler-placed (HBM) memory, indexed [tile, t] in-kernel via
+        # async DMA; an output only because Pallas has no HBM scratch --
+        # callers ignore it
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((G, T, nu, nx, 8, 128), f32))
+        k_scratch = pltpu.VMEM((2, nu, nx, 8, 128), f32)  # staging slots
+        sem_scratch = [
+            pltpu.SemaphoreType.DMA((2,)),  # write slots
+            pltpu.SemaphoreType.DMA((2,)),  # read slots
+        ]
+    else:
+        k_scratch = pltpu.VMEM((T, nu, nx, 8, 128), f32)
+        sem_scratch = []
 
     with kernel_context():
         out = pl.pallas_call(
-            _squeeze_io(kernel, cost_mode),
+            _squeeze_io(kernel, cost_mode, n_raw_out=1 if stream_k else 0,
+                        n_scratch=9 + len(sem_scratch)),
             grid=(G,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # params (1, P)
                 bspec(None, (nx,)),  # x_init
-            ] + cost_specs + u_specs + bound_specs,
-            out_specs=[
-                bspec(T, (nx,)),     # bx
-                bspec(T, (nu,)),     # bu
-                bspec(None, ()),     # bc
-                bspec(None, ()),     # bdu
-                bspec(None, ()),     # iters
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((T, nx, G, 8, 128), f32),
-                jax.ShapeDtypeStruct((T, nu, G, 8, 128), f32),
-                jax.ShapeDtypeStruct((G, 8, 128), f32),
-                jax.ShapeDtypeStruct((G, 8, 128), f32),
-                jax.ShapeDtypeStruct((G, 8, 128), f32),
-            ],
+            ] + cost_specs + u_specs + bound_specs + uz_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((T, nu, 8, 128), f32),      # u
                 pltpu.VMEM((T, nx, 8, 128), f32),      # x
-                pltpu.VMEM((T, nu, nx, 8, 128), f32),  # K
+                k_scratch,                             # K stack or staging
                 pltpu.VMEM((T, nu, 8, 128), f32),      # k
                 pltpu.VMEM((nx, nx, 8, 128), f32),     # V
                 pltpu.VMEM((nx, 8, 128), f32),         # v
                 pltpu.VMEM((8, 128), f32),             # cc
                 pltpu.VMEM((8, 128), f32),             # old_cost
                 pltpu.SMEM((4,), jnp.int32),           # flags
-            ],
+            ] + sem_scratch,
             interpret=interpret,
-        )(params.reshape(1, n_params), xi_l, *cost_in, *u_in, *bound_in)
+        )(params.reshape(1, n_params), xi_l, *cost_in, *u_in, *bound_in,
+          *uz_in)
 
-    bx_l, bu_l, bc_l, bdu_l, it_l = out
+    bx_l, bu_l, bc_l, bdu_l, it_l = out[:5]
     x = from_lanes(bx_l, T, B)   # [T,B,nx]
     u = from_lanes(bu_l, T, B)   # [T,B,nu]
     costs = bc_l.reshape(-1)[:B]
@@ -753,10 +928,11 @@ def ilqr_fused(
     return x, u, costs, du, n_iter
 
 
-def _squeeze_io(kernel, cost_mode):
-    """Wrap lane-tensor refs in LaneView (SMEM refs and the trailing 9
-    scratch refs -- u, x, K, k, V, v, cc, oc, flags -- pass through
-    untouched)."""
+def _squeeze_io(kernel, cost_mode, n_raw_out=0, n_scratch=9):
+    """Wrap lane-tensor refs in LaneView. SMEM refs, the n_raw_out trailing
+    outputs (the stream-K HBM buffer), and the n_scratch trailing scratch
+    refs (u, x, K/staging, k, V, v, cc, oc, flags [, wsem, rsem]) pass
+    through untouched."""
     n_smem_cost = 2 if cost_mode in ("smem", "diag") else 0
 
     def wrapped(*refs):
@@ -769,12 +945,11 @@ def _squeeze_io(kernel, cost_mode):
         else:
             out.append(LaneView(refs[i])); i += 1  # C lanes
             out.append(LaneView(refs[i])); i += 1  # c lanes
-        # remaining tensor refs (u0?, lb?, ub?, 5 outputs) are lane tensors;
-        # the trailing 9 are scratch (u, x, K, k, V, v, cc, oc, flags)
-        n_tensor = len(refs) - i - 9
+        # remaining lane refs: u0?, lb?, ub?, and the 5 lane outputs
+        n_tensor = len(refs) - i - n_scratch - n_raw_out
         for _ in range(n_tensor):
             out.append(LaneView(refs[i])); i += 1
-        out.extend(refs[i:])
+        out.extend(refs[i:])  # raw outputs + scratch
         kernel(*out)
 
     return wrapped

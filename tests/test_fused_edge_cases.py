@@ -108,3 +108,63 @@ def test_fused_nu2_pnqp(boxed):
     )
     kw = dict(u_lower=dyn.lower, u_upper=dyn.upper) if boxed else {}
     _compare(cfg, x_init, QuadCost(jnp.diag(q), p), dyn, params, **kw)
+
+
+@pytest.mark.parametrize("boxed", [False, True])
+@pytest.mark.parametrize("nu2", [False, True])
+def test_fused_u_zero_I(boxed, nu2):
+    """In-kernel zero-control constraints (round-2): masked free-subspace
+    gains when unbounded (reference lqr_step.py:99-127, incl. the nu==1
+    unmasked-Quu quirk) and rollout masking before the clamp
+    (lqr_step.py:197-213), vs the XLA path."""
+    rng = np.random.RandomState(5)
+    if nu2:
+        dyn = _double_pendulum_style()
+        params = jnp.array([2.0, 1.5, 0.1], F32)
+        B, T, nu = 4, 6, 2
+        x_init = jnp.asarray(rng.uniform(-1, 1, (B, 4)).astype(np.float32))
+        q = jnp.array([1.0, 1.0, 0.1, 0.1, 1e-3, 1e-3], F32)
+        p = jnp.zeros(6, F32)
+        cfg = ILQRConfig(
+            n_state=4, n_ctrl=2, T=T, lqr_iter=4, eps=0.0,
+            linesearch_decay=dyn.linesearch_decay,
+            max_linesearch_iter=dyn.max_linesearch_iter,
+            exit_unconverged=False, detach_unconverged=False, backprop=False,
+        )
+    else:
+        B, T, nu = 4, 6, 1
+        cfg, x_init, dyn, params, q, p = _pendulum_problem(B, T)
+    uz = jnp.asarray(rng.rand(B, T, nu) < 0.35)
+    kw = dict(u_lower=dyn.lower, u_upper=dyn.upper) if boxed else {}
+    r_x, r_p = _compare(
+        cfg, x_init, QuadCost(jnp.diag(q), p), dyn, params,
+        u_zero_I=uz, **kw
+    )
+    # the mask is actually enforced by the kernel
+    assert np.abs(np.asarray(r_p.u)[np.asarray(uz)]).max() == 0.0
+
+
+def test_fused_delta_u():
+    """In-kernel trust region (round-2): QP delta bounds intersected with
+    +-delta_u (lqr_step.py:132-135) and the rollout clamp widened around
+    the current iterate (lqr_step.py:200-213), vs the XLA path."""
+    dyn = _double_pendulum_style()
+    params = jnp.array([2.0, 1.5, 0.1], F32)
+    B, T = 4, 6
+    rng = np.random.RandomState(6)
+    x_init = jnp.asarray(rng.uniform(-1, 1, (B, 4)).astype(np.float32))
+    q = jnp.array([1.0, 1.0, 0.1, 0.1, 1e-3, 1e-3], F32)
+    p = jnp.zeros(6, F32)
+    cfg = ILQRConfig(
+        n_state=4, n_ctrl=2, T=T, lqr_iter=4, eps=0.0,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    r_x, r_p = _compare(
+        cfg, x_init, QuadCost(jnp.diag(q), p), dyn, params,
+        u_lower=dyn.lower, u_upper=dyn.upper, delta_u=0.4,
+    )
+    # per-iteration steps really were trust-region-limited: the first
+    # accepted iterate moves at most delta_u from the zero warm start
+    assert np.abs(np.asarray(r_p.u)).max() <= 1.5 + 1e-6

@@ -204,3 +204,58 @@ def test_pallas_riccati_delta_u():
     pal = lqr_backward(nx, 1, C, c, F, None, u, backend="pallas", **kw)
     np.testing.assert_allclose(np.asarray(pal.K), np.asarray(ref.K), atol=2e-6)
     np.testing.assert_allclose(np.asarray(pal.k), np.asarray(ref.k), atol=2e-6)
+
+
+def test_stream_k_bitwise_matches_vmem_mode():
+    """Long-horizon mode (K gain stack double-buffered through HBM,
+    ops/pallas/ilqr_fused.use_stream_k) vs the all-VMEM megakernel: the
+    math is identical, only the storage differs, so interpret-mode results
+    must be BITWISE equal. On the real chip the same comparison at rocket
+    T=40 B=1024 is exercised by scripts/tpu_smoke.py."""
+    from dilqr_tpu.models import pendulum
+    from dilqr_tpu.ops.pallas.ilqr_fused import ilqr_fused
+    from dilqr_tpu.types import ILQRConfig, QuadCost
+
+    dyn, params = pendulum.make(), pendulum.default_params()
+    q, p = pendulum.get_true_obj()
+    B, T, n = 6, 8, 4
+    rng = np.random.RandomState(0)
+    th = rng.uniform(-2, 2, B).astype(np.float32)
+    x_init = jnp.stack(
+        [jnp.cos(jnp.asarray(th)), jnp.sin(jnp.asarray(th)), jnp.zeros(B)], 1
+    ).astype(jnp.float32)
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=6, eps=0.0,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    C = jnp.broadcast_to(jnp.diag(q).astype(jnp.float32), (T, B, n, n))
+    c = jnp.broadcast_to(p.astype(jnp.float32), (T, B, n))
+    kw = dict(
+        u_lower=-2.0, u_upper=2.0,
+        cost_small=(jnp.diag(q).astype(jnp.float32), p.astype(jnp.float32)),
+        interpret=True,
+    )
+    pf = jnp.asarray(params, jnp.float32)
+    a = ilqr_fused(cfg, dyn, pf, x_init, C, c, None, force_stream_k=False, **kw)
+    b = ilqr_fused(cfg, dyn, pf, x_init, C, c, None, force_stream_k=True, **kw)
+    for name, av, bv in zip(["x", "u", "costs", "du", "n_iter"], a, b):
+        assert np.array_equal(np.asarray(av), np.asarray(bv)), name
+
+
+def test_stream_k_gate():
+    """use_stream_k triggers exactly when the full-K footprint busts the
+    VMEM budget but the staged footprint fits (rocket T=40 -- the
+    reference's demo horizon, rocket.py:1108 -- is the motivating case)."""
+    from dilqr_tpu.ops.pallas.ilqr_fused import (_vmem_bytes,
+                                                 VMEM_SCRATCH_LIMIT,
+                                                 use_stream_k)
+    from dilqr_tpu.types import ILQRConfig
+
+    rocket40 = ILQRConfig(n_state=13, n_ctrl=3, T=40)
+    assert _vmem_bytes(rocket40) > VMEM_SCRATCH_LIMIT
+    assert _vmem_bytes(rocket40, stream_k=True) <= VMEM_SCRATCH_LIMIT
+    assert use_stream_k(rocket40)
+    assert not use_stream_k(ILQRConfig(n_state=13, n_ctrl=3, T=20))
+    assert not use_stream_k(ILQRConfig(n_state=5, n_ctrl=1, T=50))
