@@ -77,6 +77,45 @@ def main():
         best_dt = min(best_dt, (time.perf_counter() - t0) / n_rep)
     solves_per_s = B / best_dt
 
+    # ---- roofline accounting (useful-FLOP model of the fused solve) ----
+    # per example per iLQR iteration, cartpole (nx=5, nu=1, n=6):
+    #   linearize: n jvp applications of the ~40-flop env step
+    #   Riccati/t: V F (2 nx^2 n) + F^T(VF) (2 n nx n) + q (2 n nx)
+    #              + 1-D QP (~10) + V'/v' updates (~250)
+    #   line search: ~2 sweeps x (feedback 2 nu nx + objective 2 n^2 + step)
+    nx, nu = 5, 1
+    n = nx + nu
+    step_f = 40.0
+    per_t = (
+        n * step_f
+        + 2 * nx * nx * n + 2 * n * nx * n + 2 * n * nx + 10 + 250
+        + 2 * (2 * nu * nx + 2 * n * n + step_f)
+    )
+    mean_iters = float(run(x_init)[2])
+    flops_per_solve = per_t * T * mean_iters
+    achieved = flops_per_solve * solves_per_s
+    VPU_F32_PEAK = 3.9e12  # v5e: 8x128 lanes x 4 ALUs x ~0.94 GHz
+    mfu = achieved / VPU_F32_PEAK
+
+    # secondary: larger batch amortizes the runtime's ~1 ms per-call floor
+    # (probed: it attaches to the solve kernel regardless of program
+    # structure on this tunneled runtime; see ilqr_fused_lanes docstring)
+    B2 = 16384
+    th2 = jnp.asarray(np.pi / 1.05 + 0.1 * rng.randn(B2), jnp.float32)
+    x2 = jnp.stack(
+        [jnp.zeros(B2), jnp.zeros(B2), jnp.cos(th2), jnp.sin(th2),
+         jnp.zeros(B2)],
+        axis=1,
+    )
+    out2 = run(x2)
+    jax.block_until_ready(out2)
+    best2 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [run(x2) for _ in range(10)]
+        jax.block_until_ready(outs)
+        best2 = min(best2, (time.perf_counter() - t0) / 10)
+
     print(
         json.dumps(
             {
@@ -84,6 +123,9 @@ def main():
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / REF_SOLVES_PER_S, 2),
+                "vpu_mfu_pct": round(100 * mfu, 1),
+                "b16384_solves_per_s": round(B2 / best2, 1),
+                "mean_lqr_iters": round(mean_iters, 1),
             }
         )
     )

@@ -59,6 +59,8 @@ from .layout import (BT, LaneView, bspec, expand_bound, from_lanes,
 
 MAX_NU = 3
 
+_DEBUG_TRUNCATE = None  # perf instrumentation: "unpack" | "init" | "rollout"
+
 # pnqp constants (reference pnqp.py:8,33-37)
 PNQP_REG = 1e-11
 PNQP_GAMMA = 0.1
@@ -85,9 +87,13 @@ def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False) -> int:
         per_t = 2 * nu + nx           # u, k, x (K staged, 2 slots)
         k_tiles = 2 * nu * nx
     else:
-        per_t = 2 * nu + nx + nu * nx  # u, k, x, K (trials are cost-only)
+        per_t = 2 * nu + nx + nu * nx  # u, k, x, K
         k_tiles = 0
-    scratch = T * per_t + k_tiles + nx * nx + nx + 2  # + cc + old_cost
+    per_t += nx + nu                  # tx/tu trial-trajectory store
+    scratch = (
+        T * per_t + k_tiles + nx * nx + nx  # V, v
+        + 3                                 # du2, cc, old_cost
+    )
     temps = 2 * (n * n + 2 * nx * n + nx * nx)
     return (scratch + temps) * BT * 4
 
@@ -378,6 +384,9 @@ def _ilqr_kernel(
     k_ref = next(it_r)
     V_ref = next(it_r)
     v_ref = next(it_r)
+    tx_ref = next(it_r)   # [T,nx,...] last trial's states
+    tu_ref = next(it_r)   # [T,nu,...] last trial's controls
+    du2s_ref = next(it_r)  # alpha=1 trial's du^2 (full_du_norm)
     cc_ref = next(it_r)
     oc_ref = next(it_r)
     flags_ref = next(it_r)
@@ -492,6 +501,10 @@ def _ilqr_kernel(
         lb_at = lambda t: lb_const
         ub_at = lambda t: ub_const
 
+    if _DEBUG_TRUNCATE == "unpack":
+        it_ref[...] = jnp.zeros((8, 128), f32)
+        return
+
     if u0_zero:
         u_ref[...] = jnp.zeros(u_ref.shape, f32)
     else:
@@ -503,6 +516,10 @@ def _ilqr_kernel(
     flags_ref[0] = 0
     flags_ref[1] = 0
     flags_ref[2] = 0
+
+    if _DEBUG_TRUNCATE == "init":
+        it_ref[...] = jnp.zeros((8, 128), f32)
+        return
 
     step = lambda x, u: step_fn(x, u, params)      # clamped true dynamics
     lin_step = lambda x, u: lin_fn(x, u, params)   # linearization point
@@ -524,6 +541,10 @@ def _ilqr_kernel(
     _, oc0 = lax.fori_loop(0, T, roll, (x_init, jnp.zeros((8, 128), f32)))
     oc_ref[...] = oc0
 
+    if _DEBUG_TRUNCATE == "rollout":
+        it_ref[...] = jnp.zeros((8, 128), f32)
+        return
+
     def outer_body(it, _):
         @pl.when(flags_ref[0] == 0)
         def _():
@@ -533,12 +554,6 @@ def _ilqr_kernel(
             # linearization F_t = jax.linearize(step) and the delta-space
             # shift c_back = C tau + c (mpc.py:489-543, lqr_step.py:284-295)
             # computed AT THE USE SITE -- no [T, nx, n] Jacobian buffer ----
-            def basis(size, hot):
-                return jnp.stack([
-                    jnp.full((8, 128), 1.0 if a == hot else 0.0, f32)
-                    for a in range(size)
-                ])
-
             V_ref[...] = jnp.zeros(V_ref.shape, f32)
             v_ref[...] = jnp.zeros(v_ref.shape, f32)
 
@@ -549,7 +564,17 @@ def _ilqr_kernel(
                 xt = x_ref[t]
                 ut = u_ref[t]
 
-                # F_t (zero slab at t = T-1: V_T = 0 makes it inert)
+                # F_t (zero slab at t = T-1: V_T = 0 makes it inert).
+                # Inline one-hot jvp per column: a fori over columns with
+                # dynamic FT writes was measured ~30% slower per iteration
+                # (loop overhead + lost cross-column fusion) with no fixed-
+                # cost win, so the n unrolled applications stay.
+                def basis(size, hot):
+                    return jnp.stack([
+                        jnp.full((8, 128), 1.0 if a == hot else 0.0, f32)
+                        for a in range(size)
+                    ])
+
                 def lin_at(xt, ut):
                     _, jvp = jax.linearize(lin_step, xt, ut)
                     cols = []
@@ -563,11 +588,12 @@ def _ilqr_kernel(
 
                 F = jnp.where(t < T - 1, lin_at(xt, ut), 0.0)
                 tau = jnp.concatenate([xt, ut], axis=0)
-                cb = _mv(Cmat(t), tau) + cvec(t)
+                Ct = Cmat(t)
+                cb = _mv(Ct, tau) + cvec(t)
 
                 tmp = _mm(jnp.swapaxes(V, 0, 1), F)       # V^T F = V F
                 FT = jnp.swapaxes(F, 0, 1)                # [n,nx,8,128]
-                Q = Cmat(t) + _mm(FT, tmp)                # [n,n,8,128]
+                Q = Ct + _mm(FT, tmp)                     # [n,n,8,128]
                 q = cb + _mv(FT, v)                       # [n,8,128]
 
                 Qxx = Q[:nx, :nx]
@@ -653,11 +679,13 @@ def _ilqr_kernel(
             k_write_flush()
 
             # ---- 5) batched backtracking line search ----
-            # trials are COST-ONLY (no trajectory storage); the accepted
-            # trial is reconstructed once at the end, overwriting x/u in
-            # place -- position t is only read before it is written, and
-            # later steps read positions > t, so no trial buffers are
-            # needed (a (nx+nu) VMEM tile per timestep saved)
+            # ONE traced instance of the trial sweep (initial alpha=1 trial
+            # and backtracking re-trials share it via the i==0 guard --
+            # program text is the kernel's per-call fixed cost), recording
+            # the candidate trajectory into tx/tu scratch so the accept
+            # pass is a pure copy instead of a third env-step sweep. The
+            # last executed trial's alpha IS alpha_used per lane, so the
+            # stored trajectory is exactly what the old recompute produced.
             def trial_step(t, xt, alpha):
                 dxt = xt - x_ref[t]
                 new_u = _mv(K_at(t), dxt) + u_ref[t] \
@@ -675,13 +703,14 @@ def _ilqr_kernel(
                 new_u = jnp.clip(new_u, lo, hi)
                 return new_u
 
-            def trial(alpha, record_du):
+            def trial(alpha):
                 def tbody(t, carry):
                     xt, cost, du2 = carry
                     new_u = trial_step(t, xt, alpha)
-                    if record_du:
-                        d = u_ref[t] - new_u
-                        du2 = du2 + (d * d).sum(0)
+                    d = u_ref[t] - new_u
+                    du2 = du2 + (d * d).sum(0)
+                    tx_ref[t] = xt
+                    tu_ref[t] = new_u
                     cost = cost + obj_t(t, xt, new_u)
                     return step(xt, new_u), cost, du2
 
@@ -691,45 +720,45 @@ def _ilqr_kernel(
                 return cost, du2
 
             ones = jnp.ones((8, 128), f32)
-            cc0, du2 = trial(ones, record_du=True)
-            cc_ref[...] = cc0
-            cur_du = jnp.sqrt(du2)
-            alpha0 = jnp.where(cc0 > old_cost, ls_decay, 1.0)
 
-            def ls_body(i, carry):
-                alpha, alpha_used = carry
-                active = jnp.any(cc_ref[...] > old_cost)
+            def ls_body(i, alpha):
+                # i == 0 is the unconditional alpha=1 trial whose du2 is
+                # full_du_norm (lqr_step.py:243-245); later iterations
+                # re-trial only while some lane's cost worsened
+                active = (i == 0) | jnp.any(cc_ref[...] > old_cost)
 
                 @pl.when(active)
                 def _():
-                    cc, _ = trial(alpha, record_du=False)
+                    cc, du2 = trial(alpha)
                     cc_ref[...] = cc
 
-                alpha_used = jnp.where(active, alpha, alpha_used)
-                alpha = jnp.where(cc_ref[...] > old_cost, alpha * ls_decay,
-                                  alpha)
-                return alpha, alpha_used
+                    @pl.when(i == 0)
+                    def _():
+                        du2s_ref[...] = du2
 
-            _, alpha_used = lax.fori_loop(
-                1, max_ls_iter, ls_body, (alpha0, ones)
-            )
+                return jnp.where(cc_ref[...] > old_cost, alpha * ls_decay,
+                                 alpha)
+
+            lax.fori_loop(0, max_ls_iter, ls_body, ones)
             cc = cc_ref[...]
+            cur_du = jnp.sqrt(du2s_ref[...])
 
             # ---- accept the last executed trial (lqr_step.py:247) and
-            # fold in best tracking (mpc.py:266-301) in one pass ----
+            # fold in best tracking (mpc.py:266-301) in one pass: tx/tu
+            # hold exactly that trial's trajectory ----
             improved = cc <= bc_ref[...] + best_cost_eps
             impx = improved[None, None]
 
-            def accept(t, xt):
-                new_u = trial_step(t, xt, alpha_used)
+            def accept(t, _c):
+                xt = tx_ref[t]
+                new_u = tu_ref[t]
                 x_ref[t] = xt
                 u_ref[t] = new_u
                 bx_ref[t] = jnp.where(impx[0], xt, bx_ref[t])
                 bu_ref[t] = jnp.where(impx[0], new_u, bu_ref[t])
-                return step(xt, new_u)
+                return 0
 
-            k_sweep_begin()
-            lax.fori_loop(0, T, accept, x_init)
+            lax.fori_loop(0, T, accept, 0)
 
             oc_ref[...] = cc  # accepted iterate's cost = next old_cost
             bc_ref[...] = jnp.where(improved, cc, bc_ref[...])
@@ -854,6 +883,30 @@ def ilqr_fused(
     xi_p = pad_batch(x_init.astype(f32)[None], B, Bp)[0]  # [Bp, nx]
     xi_l = xi_p.T.reshape(nx, G, 8, 128)
 
+    out = _pallas_solve(
+        cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs, bound_specs,
+        uz_specs, u0_zero, bounds_static, uz_present, delta_u_static,
+        unbounded, interpret, force_stream_k,
+    )(params.reshape(1, n_params), xi_l, *cost_in, *u_in, *bound_in, *uz_in)
+
+    bx_l, bu_l, bc_l, bdu_l, it_l = out[:5]
+    x = from_lanes(bx_l, T, B)   # [T,B,nx]
+    u = from_lanes(bu_l, T, B)   # [T,B,nu]
+    costs = bc_l.reshape(-1)[:B]
+    du = bdu_l.reshape(-1)[:B]
+    n_iter = jnp.max(it_l).astype(jnp.int32)
+    return x, u, costs, du, n_iter
+
+
+def _pallas_solve(cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs,
+                  bound_specs, uz_specs, u0_zero, bounds_static, uz_present,
+                  delta_u_static, unbounded, interpret, force_stream_k):
+    """Build the configured whole-solve pallas_call. Returns a callable
+    (params [1,P], xi_lanes [nx,G,8,128], *cost_in, *u_in, *bound_in,
+    *uz_in) -> (bx, bu, bc, bdu, iters[, K_hbm]) in LANE layout."""
+    T, nx, nu = cfg.T, cfg.n_state, cfg.n_ctrl
+    f32 = jnp.float32
+
     stream_k = use_stream_k(cfg) if force_stream_k is None else force_stream_k
     kernel = functools.partial(
         _ilqr_kernel, T, nx, nu, n_params, cfg.lqr_iter, cfg.pnqp_iter,
@@ -893,46 +946,87 @@ def ilqr_fused(
         k_scratch = pltpu.VMEM((T, nu, nx, 8, 128), f32)
         sem_scratch = []
 
-    with kernel_context():
-        out = pl.pallas_call(
-            _squeeze_io(kernel, cost_mode, n_raw_out=1 if stream_k else 0,
-                        n_scratch=9 + len(sem_scratch)),
-            grid=(G,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # params (1, P)
-                bspec(None, (nx,)),  # x_init
-            ] + cost_specs + u_specs + bound_specs + uz_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((T, nu, 8, 128), f32),      # u
-                pltpu.VMEM((T, nx, 8, 128), f32),      # x
-                k_scratch,                             # K stack or staging
-                pltpu.VMEM((T, nu, 8, 128), f32),      # k
-                pltpu.VMEM((nx, nx, 8, 128), f32),     # V
-                pltpu.VMEM((nx, 8, 128), f32),         # v
-                pltpu.VMEM((8, 128), f32),             # cc
-                pltpu.VMEM((8, 128), f32),             # old_cost
-                pltpu.SMEM((4,), jnp.int32),           # flags
-            ] + sem_scratch,
-            interpret=interpret,
-        )(params.reshape(1, n_params), xi_l, *cost_in, *u_in, *bound_in,
-          *uz_in)
+    def call(*arrays):
+        with kernel_context():
+            return pl.pallas_call(
+                _squeeze_io(
+                    kernel, cost_mode, n_raw_out=1 if stream_k else 0,
+                    n_scratch=12 + len(sem_scratch),
+                ),
+                grid=(G,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # params (1, P)
+                    bspec(None, (nx,)),  # x_init
+                ] + cost_specs + u_specs + bound_specs + uz_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                scratch_shapes=[
+                    pltpu.VMEM((T, nu, 8, 128), f32),      # u
+                    pltpu.VMEM((T, nx, 8, 128), f32),      # x
+                    k_scratch,                             # K / staging
+                    pltpu.VMEM((T, nu, 8, 128), f32),      # k
+                    pltpu.VMEM((nx, nx, 8, 128), f32),     # V
+                    pltpu.VMEM((nx, 8, 128), f32),         # v
+                    pltpu.VMEM((T, nx, 8, 128), f32),      # tx (trial x)
+                    pltpu.VMEM((T, nu, 8, 128), f32),      # tu (trial u)
+                    pltpu.VMEM((8, 128), f32),             # du2 (alpha=1)
+                    pltpu.VMEM((8, 128), f32),             # cc
+                    pltpu.VMEM((8, 128), f32),             # old_cost
+                    pltpu.SMEM((4,), jnp.int32),           # flags
+                ] + sem_scratch,
+                interpret=interpret,
+            )(*arrays)
 
-    bx_l, bu_l, bc_l, bdu_l, it_l = out[:5]
-    x = from_lanes(bx_l, T, B)   # [T,B,nx]
-    u = from_lanes(bu_l, T, B)   # [T,B,nu]
-    costs = bc_l.reshape(-1)[:B]
-    du = bdu_l.reshape(-1)[:B]
-    n_iter = jnp.max(it_l).astype(jnp.int32)
-    return x, u, costs, du, n_iter
+    return call
 
 
-def _squeeze_io(kernel, cost_mode, n_raw_out=0, n_scratch=9):
+def ilqr_fused_lanes(
+    cfg: ILQRConfig,
+    dyn: Dynamics,
+    params2d: jax.Array,   # [1, P] float32
+    xi_lanes: jax.Array,   # [nx, G, 8, 128] (to_lanes of x_init^T)
+    Cs: jax.Array,         # [Tc, n] diag entries (diag=True) or [Tc, n*n]
+    cs: jax.Array,         # [Tc, n]; Tc in {1, T}
+    u_lower=None,
+    u_upper=None,
+    diag: bool = True,
+    interpret: bool = False,
+):
+    """RESIDENT-LAYOUT whole-solve entry: inputs already in kernel layout,
+    outputs returned raw in lane layout (bx, bu, bc, bdu, iters).
+
+    For steady-state pipelines (training, serving) that keep data resident
+    on device: skips every canonicalization/layout op of the standard
+    wrapper, so the jitted program is exactly one Pallas kernel. On this
+    container's tunneled runtime the measured end-to-end difference vs the
+    standard path is small (a ~0.7-1.0 ms per-call floor attaches to the
+    solve kernel itself regardless of surrounding ops -- probed with
+    truncated kernel bodies, see _DEBUG_TRUNCATE); on runtimes without
+    that floor the saved transposes are the remaining per-call overhead.
+    Bounds must be compile-time constants (they bake into the kernel).
+    Pass every operand as a jit argument -- captured constants cost ~1 ms
+    per execution to materialize on this runtime.
+    """
+    assert xi_lanes.ndim == 4 and xi_lanes.shape[0] == cfg.n_state
+    G = xi_lanes.shape[1]
+    bounds_static = _static_bounds(u_lower, u_upper, cfg.n_ctrl)
+    assert bounds_static is not None, "resident entry requires static bounds"
+    cost_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    return _pallas_solve(
+        cfg, dyn, params2d.shape[1], G, "diag" if diag else "smem",
+        cost_specs, [], [], [], True, bounds_static, False, None,
+        u_lower is None, interpret, None,
+    )(params2d, xi_lanes, Cs, cs)
+
+
+def _squeeze_io(kernel, cost_mode, n_raw_out=0, n_scratch=12):
     """Wrap lane-tensor refs in LaneView. SMEM refs, the n_raw_out trailing
     outputs (the stream-K HBM buffer), and the n_scratch trailing scratch
-    refs (u, x, K/staging, k, V, v, cc, oc, flags [, wsem, rsem]) pass
-    through untouched."""
+    refs (u, x, K/staging, k, V, v, tx, tu, du2, cc, oc, flags [, wsem,
+    rsem]) pass through untouched."""
     n_smem_cost = 2 if cost_mode in ("smem", "diag") else 0
 
     def wrapped(*refs):
