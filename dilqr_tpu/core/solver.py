@@ -211,6 +211,11 @@ def solve(
         # both-or-neither, as the reference asserts (mpc.py:156); one-sided
         # boxes would otherwise diverge between backends
         raise ValueError("u_lower and u_upper must both be set or both None")
+    if delta_u is not None and u_lower is None:
+        # the reference asserts this combination unsupported
+        # (lqr_step.py:195); rejecting it here keeps the XLA and fused
+        # backends from silently diverging on it
+        raise ValueError("delta_u requires box bounds (u_lower/u_upper)")
 
     # the whole solve runs in x_init's dtype (the reference type_as-es
     # everything to x_init, mpc.py:231,236)

@@ -268,7 +268,17 @@ def solve_with_grad(
 
                 if supports_host_callback():
                     jax.debug.callback(_warn, bad, res, b_norm)
-                if cfg.ift_fallback:
+                # lax.cond compiles BOTH branches, and the dense probe's
+                # batched jnp.linalg.solve on [B, D, D] has no f64 LU on
+                # TPU (the Mosaic gotcha riccati.py also guards) -- so
+                # the auto-fallback is limited to configurations where
+                # the dense branch can lower; f64-on-TPU users get the
+                # warning and can set ift_solver="dense" off-device.
+                fb_ok = cfg.ift_fallback and not (
+                    g_x.dtype == jnp.float64
+                    and jax.default_backend() == "tpu"
+                )
+                if fb_ok:
                     # a weakly-contracting fixed point (under-converged
                     # forward solve) defeats GMRES(m); the dense probe is
                     # exact. lax.cond executes only the taken branch.

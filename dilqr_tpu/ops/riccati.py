@@ -110,7 +110,10 @@ def lqr_backward(
         # unconstrained recursion (ops/parallel_riccati.py). Its n > 3
         # combine uses batched jnp.linalg.solve, which has no f64 batched
         # LU on TPU -- that combination falls back to the sequential scan
-        # rather than failing at compile time.
+        # rather than failing at compile time. The gate keys on
+        # jax.default_backend() (trace time cannot see the execution
+        # device), so axon-pinned sessions running f64 n>3 on CPU devices
+        # conservatively take the sequential path too.
         plqr_ok = not (
             nx > 3
             and C.dtype == jnp.float64

@@ -33,38 +33,41 @@ _SOLVE_CACHE: "collections.OrderedDict" = collections.OrderedDict()
 _SOLVE_CACHE_MAX = 64
 
 
-def _struct_key(v):
+def _struct_key(v, keep):
     """A hashable structural key for executable caching.
 
-    Arrays key by (shape, dtype, content bytes) -- solver extras (bounds,
-    masks) are small, so hashing content is cheap and immune to in-place
-    mutation; arrays past 64k elements key by shape/dtype/id as a guard
-    (document: treat such baked-in constants as immutable). Functions key
-    by code object + structural closure contents, so two `pendulum.make()`
-    calls produce the SAME key (fresh lambdas over the same code);
-    containers recurse; objects (Dynamics) key by type + attributes.
+    numpy arrays key by (shape, dtype, content bytes) -- host-side hash,
+    no device transfer, immune to in-place mutation. jax.Arrays are
+    IMMUTABLE, so they key by identity with a strong reference appended
+    to ``keep`` (stored alongside the cache entry) so the id cannot be
+    recycled while the entry lives -- no per-call device->host readback.
+    Functions key by code object + structural closure contents, so two
+    `pendulum.make()` calls produce the SAME key (fresh lambdas over the
+    same code); containers recurse; objects (Dynamics) key by type +
+    attributes.
     """
     import types as pytypes
 
     if v is None or isinstance(v, (bool, int, float, str, bytes)):
         return v
-    if isinstance(v, (jax.Array, np.ndarray)):
-        a = np.asarray(v)
-        if a.size > 65536:
-            return ("bigarray", a.shape, str(a.dtype), id(v))
-        return ("array", a.shape, str(a.dtype), a.tobytes())
+    if isinstance(v, np.ndarray):
+        return ("nparray", v.shape, str(v.dtype), v.tobytes())
+    if isinstance(v, jax.Array):
+        keep.append(v)
+        return ("jaxarr", v.shape, str(v.dtype), id(v))
     if isinstance(v, pytypes.FunctionType):
         cells = tuple(
-            _struct_key(c.cell_contents) for c in (v.__closure__ or ())
+            _struct_key(c.cell_contents, keep)
+            for c in (v.__closure__ or ())
         )
-        defaults = tuple(_struct_key(d) for d in (v.__defaults__ or ()))
+        defaults = tuple(_struct_key(d, keep) for d in (v.__defaults__ or ()))
         return ("fn", v.__code__, cells, defaults)
     if isinstance(v, (tuple, list)):
-        return (type(v).__name__,) + tuple(_struct_key(x) for x in v)
+        return (type(v).__name__,) + tuple(_struct_key(x, keep) for x in v)
     if isinstance(v, dict):
         return (
             "dict",
-            tuple((k, _struct_key(x)) for k, x in sorted(v.items())),
+            tuple((k, _struct_key(x, keep)) for k, x in sorted(v.items())),
         )
     import dataclasses as dc
 
@@ -72,7 +75,7 @@ def _struct_key(v):
         return (
             type(v),
             tuple(
-                (f.name, _struct_key(getattr(v, f.name)))
+                (f.name, _struct_key(getattr(v, f.name), keep))
                 for f in dc.fields(v)
             ),
         )
@@ -83,8 +86,38 @@ def _struct_key(v):
         pass
     fields = getattr(v, "__dict__", None)
     if fields:
-        return (type(v), _struct_key(fields))
+        return (type(v), _struct_key(fields, keep))
+    keep.append(v)
     return ("id", type(v), id(v))
+
+
+def _cached_jit_solve(tag, cfg, quad, lin, cost, dynamics, kwargs):
+    """Shared executable cache for sharded_solve / multihost_solve:
+    structural key (see _struct_key), bounded LRU, id-keyed components
+    kept alive with the entry. Returns the jitted fn."""
+    keep: list = []
+    key = (
+        tag, cfg, quad, lin,
+        None if quad else _struct_key(cost, keep),
+        None if lin else _struct_key(dynamics, keep),
+        tuple((k, _struct_key(v, keep)) for k, v in sorted(kwargs.items())),
+    )
+    entry = _SOLVE_CACHE.get(key)
+    if entry is None:
+
+        @jax.jit
+        def fn(x_init, cost_arrays, dyn_arrays, params):
+            c = QuadCost(*cost_arrays) if quad else cost
+            d = LinDx(*dyn_arrays) if lin else dynamics
+            return solve(cfg, x_init, c, d, params=params, **kwargs)
+
+        entry = (fn, tuple(keep))
+        _SOLVE_CACHE[key] = entry
+        while len(_SOLVE_CACHE) > _SOLVE_CACHE_MAX:
+            _SOLVE_CACHE.popitem(last=False)
+    else:
+        _SOLVE_CACHE.move_to_end(key)
+    return entry[0]
 
 
 def batch_mesh(devices=None, axis_name: str = "batch") -> Mesh:
@@ -146,32 +179,9 @@ def sharded_solve(
     # are closed over the jitted fn so they stay compile-time constants
     # (concrete bounds bake into the fused kernel; see
     # ops/pallas/ilqr_fused._static_bounds). The executable cache keys
-    # components *structurally* -- arrays by (shape, dtype, content bytes),
-    # objects by their public attributes, callables by identity -- so two
-    # equal configurations share one program and a mutated-in-place array
-    # cannot silently reuse a stale executable. The cache is a bounded LRU
-    # (oldest program dropped past _SOLVE_CACHE_MAX entries).
-    key = (
-        cfg, quad, lin,
-        None if quad else _struct_key(cost),
-        None if lin else _struct_key(dynamics),
-        tuple((k, _struct_key(v)) for k, v in sorted(kwargs.items())),
-    )
-    fn = _SOLVE_CACHE.get(key)
-    if fn is None:
-
-        @jax.jit
-        def fn(x_init, cost_arrays, dyn_arrays, params):
-            c = QuadCost(*cost_arrays) if quad else cost
-            d = LinDx(*dyn_arrays) if lin else dynamics
-            return solve(cfg, x_init, c, d, params=params, **kwargs)
-
-        _SOLVE_CACHE[key] = fn
-        while len(_SOLVE_CACHE) > _SOLVE_CACHE_MAX:
-            _SOLVE_CACHE.popitem(last=False)
-    else:
-        _SOLVE_CACHE.move_to_end(key)
-
+    # components *structurally* (see _struct_key) in a bounded LRU shared
+    # with multihost_solve.
+    fn = _cached_jit_solve("local", cfg, quad, lin, cost, dynamics, kwargs)
     return fn(
         x_init,
         tuple(cost) if quad else (),

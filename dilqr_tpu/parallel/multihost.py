@@ -170,29 +170,11 @@ def multihost_solve(
 def _jit_solve(cfg, x_init, cost, dynamics, params, kwargs):
     quad = isinstance(cost, QuadCost)
     lin = isinstance(dynamics, LinDx)
-    from .mesh import _SOLVE_CACHE, _SOLVE_CACHE_MAX, _struct_key
+    from .mesh import _cached_jit_solve
 
-    key = (
-        "multihost", cfg, quad, lin,
-        None if quad else _struct_key(cost),
-        None if lin else _struct_key(dynamics),
-        tuple((k, _struct_key(v)) for k, v in sorted(kwargs.items())),
+    fn = _cached_jit_solve(
+        "multihost", cfg, quad, lin, cost, dynamics, kwargs
     )
-    fn = _SOLVE_CACHE.get(key)
-    if fn is None:
-
-        @jax.jit
-        def fn(x_init, cost_arrays, dyn_arrays, params):
-            c = QuadCost(*cost_arrays) if quad else cost
-            d = LinDx(*dyn_arrays) if lin else dynamics
-            return solve(cfg, x_init, c, d, params=params, **kwargs)
-
-        _SOLVE_CACHE[key] = fn
-        while len(_SOLVE_CACHE) > _SOLVE_CACHE_MAX:
-            _SOLVE_CACHE.popitem(last=False)
-    else:
-        _SOLVE_CACHE.move_to_end(key)
-
     return fn(
         x_init,
         tuple(cost) if quad else (),

@@ -36,7 +36,14 @@ def _backend_supports(platform: str) -> bool:
 def supports_host_callback() -> bool:
     """True when jax.debug.callback can be compiled for the default
     backend. Evaluated at trace time (python), so callers simply skip
-    emitting the callback op."""
+    emitting the callback op.
+
+    Layering caveat: tracing has no notion of the device the program will
+    actually run on, so this keys on jax.default_backend(). In a session
+    where the axon plugin pins the default to TPU, programs explicitly
+    placed on CPU devices also lose their (best-effort) diagnostics;
+    force JAX_PLATFORMS=cpu / jax.config jax_platforms for debug runs, as
+    tests/conftest.py does."""
     try:
         return _backend_supports(jax.default_backend())
     except Exception:

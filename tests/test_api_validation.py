@@ -46,3 +46,15 @@ def test_unroll_mode_requires_unroll_flag():
     with pytest.raises(ValueError, match="UNROLL"):
         solve(cfg, jnp.zeros((2, 3)), QuadCost(jnp.diag(q), p), dyn,
               params=pendulum.default_params())
+
+
+def test_delta_u_requires_bounds():
+    """The reference asserts this combination unsupported
+    (lqr_step.py:195); rejecting it keeps the XLA and fused backends from
+    silently diverging (the XLA rollout would ignore the trust region
+    while the kernel would apply it)."""
+    dyn = pendulum.make()
+    q, p = pendulum.get_true_obj()
+    with pytest.raises(ValueError, match="delta_u requires"):
+        solve(_cfg(), jnp.zeros((2, 3)), QuadCost(jnp.diag(q), p), dyn,
+              params=pendulum.default_params(), delta_u=0.3)
