@@ -155,7 +155,10 @@ def ilqr_loop(
 
         use_fused = fused_supported(
             cfg, cost, dyn, params, u_zero_I, delta_u, dtype
-        ) and lane_compatible(dyn, params, cfg.n_state, cfg.n_ctrl)
+        ) and (
+            isinstance(dyn, LinDx)  # F/f ride in as data; nothing to probe
+            or lane_compatible(dyn, params, cfg.n_state, cfg.n_ctrl)
+        )
 
         def fused_call(interpret):
             return ILQRInternal(

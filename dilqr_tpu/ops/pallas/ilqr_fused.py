@@ -52,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...models.base import Dynamics
-from ...types import GradMethod, ILQRConfig, QuadCost
+from ...types import GradMethod, ILQRConfig, LinDx, QuadCost
 from ...utils.kernel_math import kernel_context
 from .layout import (BT, LaneView, bspec, expand_bound, from_lanes,
                      pad_batch, pad_cost_identity, to_lanes)
@@ -69,7 +69,8 @@ PNQP_CONV = 1e-4
 PNQP_ARMIJO_ITER = 10
 
 
-def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False) -> int:
+def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False,
+                lin_dx: bool = False) -> int:
     """Approximate per-tile VMEM footprint (f32 lanes tiles): declared
     scratch (F_t/c_back recomputed at use site, trials cost-only, so only
     trajectory, gains, and trackers persist) plus the Riccati step's live
@@ -90,6 +91,10 @@ def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False) -> int:
         per_t = 2 * nu + nx + nu * nx  # u, k, x, K
         k_tiles = 0
     per_t += nx + nu                  # tx/tu trial-trajectory store
+    if lin_dx:
+        # F (and f) arrive as whole-T VMEM input blocks; Mosaic
+        # double-buffers pipelined inputs, hence the factor 2
+        per_t += 2 * (nx * n + nx)
     scratch = (
         T * per_t + k_tiles + nx * nx + nx  # V, v
         + 3                                 # du2, cc, old_cost
@@ -101,12 +106,13 @@ def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False) -> int:
 VMEM_SCRATCH_LIMIT = 15 * 1024 * 1024  # of the 16 MB/core
 
 
-def use_stream_k(cfg: ILQRConfig) -> bool:
+def use_stream_k(cfg: ILQRConfig, lin_dx: bool = False) -> bool:
     """Long horizons whose full K stack busts the VMEM budget stream K
     through HBM instead of falling back to the ~13x slower XLA scan."""
     return (
-        _vmem_bytes(cfg, stream_k=False) > VMEM_SCRATCH_LIMIT
-        and _vmem_bytes(cfg, stream_k=True) <= VMEM_SCRATCH_LIMIT
+        _vmem_bytes(cfg, stream_k=False, lin_dx=lin_dx) > VMEM_SCRATCH_LIMIT
+        and _vmem_bytes(cfg, stream_k=True, lin_dx=lin_dx)
+        <= VMEM_SCRATCH_LIMIT
     )
 
 
@@ -122,19 +128,29 @@ def _static_scalar(v):
 
 def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
                     dtype) -> bool:
+    lin = isinstance(dyn, LinDx)
+    if lin:
+        # time-varying affine (LQR) problems: F/f ride in as lane inputs;
+        # no linearization, no params
+        dyn_ok = True
+    else:
+        dyn_ok = (
+            isinstance(dyn, Dynamics)
+            and cfg.grad_method in (GradMethod.ANALYTIC, GradMethod.AUTO_DIFF)
+            and dyn.jacobian is None
+            and _is_flat_params(params)
+        )
     return (
         isinstance(cost, QuadCost)
-        and isinstance(dyn, Dynamics)
+        and dyn_ok
         and 1 <= cfg.n_ctrl <= MAX_NU
         and (delta_u is None or _static_scalar(delta_u) is not None)
         and cfg.qp_solver == "auto"
         and not cfg.unroll
         and cfg.verbose < 1
-        and cfg.grad_method in (GradMethod.ANALYTIC, GradMethod.AUTO_DIFF)
-        and dyn.jacobian is None
         and dtype == jnp.float32
-        and _is_flat_params(params)
-        and _vmem_bytes(cfg, stream_k=use_stream_k(cfg)) <= VMEM_SCRATCH_LIMIT
+        and _vmem_bytes(cfg, stream_k=use_stream_k(cfg, lin), lin_dx=lin)
+        <= VMEM_SCRATCH_LIMIT
     )
 
 
@@ -342,6 +358,7 @@ def _ilqr_kernel(
     T, nx, nu, n_params, lqr_iter, pnqp_iter, eps, ls_decay, max_ls_iter,
     best_cost_eps, not_improved_lim, step_fn, lin_fn, cost_mode, u0_zero,
     bounds_static, stream_k, uz_present, delta_u_static, unbounded,
+    lin_dx, f_present,
     *refs,
 ):
     """cost_mode: "lanes" (C_ref/c_ref per-example lane tensors) or "smem"
@@ -367,6 +384,11 @@ def _ilqr_kernel(
     else:
         Cs_ref = next(it_r)
         cs_ref = next(it_r)
+    if lin_dx:
+        # time-varying affine dynamics as lane inputs (zero F slab at
+        # t = T-1 supplied by the driver)
+        F_ref = next(it_r)                       # [T,nx,n,...]
+        f_ref = next(it_r) if f_present else None  # [T,nx,...]
     u0_ref = None if u0_zero else next(it_r)
     if bounds_static is None:
         lb_ref = next(it_r)
@@ -521,8 +543,18 @@ def _ilqr_kernel(
         it_ref[...] = jnp.zeros((8, 128), f32)
         return
 
-    step = lambda x, u: step_fn(x, u, params)      # clamped true dynamics
-    lin_step = lambda x, u: lin_fn(x, u, params)   # linearization point
+    if lin_dx:
+
+        def step_t(t, xt, ut):
+            tau = jnp.concatenate([xt, ut], axis=0)
+            nxt = _mv(F_ref[t], tau)
+            if f_present:
+                nxt = nxt + f_ref[t]
+            return nxt
+    else:
+        step = lambda x, u: step_fn(x, u, params)   # clamped true dynamics
+        lin_step = lambda x, u: lin_fn(x, u, params)  # linearization point
+        step_t = lambda t, xt, ut: step(xt, ut)
 
     def obj_t(t, xt, ut):
         tau = jnp.concatenate([xt, ut], axis=0)    # [n,8,128]
@@ -536,7 +568,7 @@ def _ilqr_kernel(
         x_ref[t] = xt
         ut = u_ref[t]
         cost = cost + obj_t(t, xt, ut)
-        return step(xt, ut), cost
+        return step_t(t, xt, ut), cost
 
     _, oc0 = lax.fori_loop(0, T, roll, (x_init, jnp.zeros((8, 128), f32)))
     oc_ref[...] = oc0
@@ -586,7 +618,10 @@ def _ilqr_kernel(
                                 jvp(basis(nx, -1), basis(nu, j - nx)))
                     return jnp.stack(cols, axis=1)  # [nx,n,8,128]
 
-                F = jnp.where(t < T - 1, lin_at(xt, ut), 0.0)
+                if lin_dx:
+                    F = F_ref[t]  # zero slab at t = T-1 supplied as data
+                else:
+                    F = jnp.where(t < T - 1, lin_at(xt, ut), 0.0)
                 tau = jnp.concatenate([xt, ut], axis=0)
                 Ct = Cmat(t)
                 cb = _mv(Ct, tau) + cvec(t)
@@ -712,7 +747,7 @@ def _ilqr_kernel(
                     tx_ref[t] = xt
                     tu_ref[t] = new_u
                     cost = cost + obj_t(t, xt, new_u)
-                    return step(xt, new_u), cost, du2
+                    return step_t(t, xt, new_u), cost, du2
 
                 k_sweep_begin()
                 z = jnp.zeros((8, 128), f32)
@@ -793,13 +828,19 @@ def ilqr_fused(
     interpret: bool = False,
     force_stream_k: Optional[bool] = None,  # tests only; None = auto
 ):
-    """Run the fused whole-solve kernel. Returns time-major
-    (x [T,B,nx], u [T,B,nu], costs [B], full_du_norm [B], n_iter [])."""
+    """Run the fused whole-solve kernel. ``dyn`` is a Dynamics (nonlinear
+    iLQR) or a LinDx (time-varying affine LQR; F/f ride in as lane
+    inputs). Returns time-major (x [T,B,nx], u [T,B,nu], costs [B],
+    full_du_norm [B], n_iter [])."""
     T, B = cfg.T, x_init.shape[0]
     nx, nu = cfg.n_state, cfg.n_ctrl
     n = nx + nu
     f32 = jnp.float32
-    params = jnp.asarray(params, f32)
+    lin_dx = isinstance(dyn, LinDx)
+    if lin_dx:
+        params = jnp.zeros((1,), f32)  # SMEM dummy; kernel reads none
+    else:
+        params = jnp.asarray(params, f32)
     n_params = params.shape[0]
 
     Bp = -(-B // BT) * BT
@@ -850,6 +891,23 @@ def ilqr_fused(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
 
+    lin_in = []
+    lin_specs = []
+    f_present = False
+    if lin_dx:
+        # pad the zero F slab at t = T-1 (V_T = 0 makes it inert) and
+        # convert to lanes
+        Fz = jnp.zeros((1, B, nx, n), f32)
+        F_full = jnp.concatenate([dyn.F.astype(f32), Fz], axis=0)
+        lin_in = [to_lanes(pad_batch(F_full, B, Bp), T, Bp)]
+        lin_specs = [bspec(T, (nx, n))]
+        if dyn.f is not None:
+            f_present = True
+            fz = jnp.zeros((1, B, nx), f32)
+            f_full = jnp.concatenate([dyn.f.astype(f32), fz], axis=0)
+            lin_in.append(to_lanes(pad_batch(f_full, B, Bp), T, Bp))
+            lin_specs.append(bspec(T, (nx,)))
+
     u0_zero = u_init is None
     u_in = []
     u_specs = []
@@ -887,7 +945,9 @@ def ilqr_fused(
         cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs, bound_specs,
         uz_specs, u0_zero, bounds_static, uz_present, delta_u_static,
         unbounded, interpret, force_stream_k,
-    )(params.reshape(1, n_params), xi_l, *cost_in, *u_in, *bound_in, *uz_in)
+        lin_specs=lin_specs, lin_dx=lin_dx, f_present=f_present,
+    )(params.reshape(1, n_params), xi_l, *cost_in, *lin_in, *u_in,
+      *bound_in, *uz_in)
 
     bx_l, bu_l, bc_l, bdu_l, it_l = out[:5]
     x = from_lanes(bx_l, T, B)   # [T,B,nx]
@@ -900,20 +960,27 @@ def ilqr_fused(
 
 def _pallas_solve(cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs,
                   bound_specs, uz_specs, u0_zero, bounds_static, uz_present,
-                  delta_u_static, unbounded, interpret, force_stream_k):
+                  delta_u_static, unbounded, interpret, force_stream_k,
+                  lin_specs=(), lin_dx=False, f_present=False):
     """Build the configured whole-solve pallas_call. Returns a callable
-    (params [1,P], xi_lanes [nx,G,8,128], *cost_in, *u_in, *bound_in,
-    *uz_in) -> (bx, bu, bc, bdu, iters[, K_hbm]) in LANE layout."""
+    (params [1,P], xi_lanes [nx,G,8,128], *cost_in, *lin_in, *u_in,
+    *bound_in, *uz_in) -> (bx, bu, bc, bdu, iters[, K_hbm]) in LANE
+    layout."""
     T, nx, nu = cfg.T, cfg.n_state, cfg.n_ctrl
     f32 = jnp.float32
 
-    stream_k = use_stream_k(cfg) if force_stream_k is None else force_stream_k
+    stream_k = (
+        use_stream_k(cfg, lin_dx) if force_stream_k is None
+        else force_stream_k
+    )
+    step_fn = None if lin_dx else dyn.step
+    lin_fn = None if lin_dx else dyn.linearize_point
     kernel = functools.partial(
         _ilqr_kernel, T, nx, nu, n_params, cfg.lqr_iter, cfg.pnqp_iter,
         cfg.eps, cfg.linesearch_decay, cfg.max_linesearch_iter,
-        cfg.best_cost_eps, cfg.not_improved_lim, dyn.step,
-        dyn.linearize_point, cost_mode, u0_zero, bounds_static, stream_k,
-        uz_present, delta_u_static, unbounded,
+        cfg.best_cost_eps, cfg.not_improved_lim, step_fn,
+        lin_fn, cost_mode, u0_zero, bounds_static, stream_k,
+        uz_present, delta_u_static, unbounded, lin_dx, f_present,
     )
 
     out_specs = [
@@ -957,7 +1024,8 @@ def _pallas_solve(cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs,
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),  # params (1, P)
                     bspec(None, (nx,)),  # x_init
-                ] + cost_specs + u_specs + bound_specs + uz_specs,
+                ] + cost_specs + list(lin_specs) + u_specs + bound_specs
+                + uz_specs,
                 out_specs=out_specs,
                 out_shape=out_shape,
                 scratch_shapes=[

@@ -168,3 +168,68 @@ def test_fused_delta_u():
     # per-iteration steps really were trust-region-limited: the first
     # accepted iterate moves at most delta_u from the zero warm start
     assert np.abs(np.asarray(r_p.u)).max() <= 1.5 + 1e-6
+
+
+@pytest.mark.parametrize("boxed", [False, True])
+@pytest.mark.parametrize("with_f", [True, False])
+def test_fused_lindx(boxed, with_f):
+    """Time-varying affine (LinDx / classic LQR) problems on the fused
+    whole-solve kernel (round 2): F/f ride in as lane inputs, the
+    linearization stage reads them instead of tracing jax.linearize, and
+    the rollout steps x' = F tau + f, vs the XLA path."""
+    import jax.numpy as jnp
+
+    from dilqr_tpu.types import LinDx
+
+    rng = np.random.RandomState(3)
+    T, B, nx, nu = 8, 6, 3, 2
+    n = nx + nu
+    A = rng.randn(T, B, n, n).astype(np.float32)
+    C = jnp.asarray(A @ A.transpose(0, 1, 3, 2)
+                    + 0.5 * np.eye(n, dtype=np.float32))
+    c = jnp.asarray(rng.randn(T, B, n).astype(np.float32))
+    F = jnp.asarray(
+        (rng.randn(T - 1, B, nx, n) * 0.3
+         + np.concatenate([np.eye(nx), np.zeros((nx, nu))], 1)
+         ).astype(np.float32))
+    f = jnp.asarray((rng.randn(T - 1, B, nx) * 0.1).astype(np.float32))
+    x_init = jnp.asarray(rng.randn(B, nx).astype(np.float32))
+    bm = lambda a: jnp.swapaxes(a, 0, 1)
+    cfg = ILQRConfig(
+        n_state=nx, n_ctrl=nu, T=T, lqr_iter=8, eps=0.0,
+        detach_unconverged=False, backprop=False,
+    )
+    kw = dict(u_lower=-0.5, u_upper=0.5) if boxed else {}
+    dynx = LinDx(bm(F), bm(f) if with_f else None)
+    _compare(cfg, x_init, QuadCost(bm(C), bm(c)), dynx, None, **kw)
+
+
+def test_fused_lindx_u_zero():
+    """LinDx + zero-control constraints on the fused path (masked
+    free-subspace gains, unbounded branch)."""
+    import jax.numpy as jnp
+
+    from dilqr_tpu.types import LinDx
+
+    rng = np.random.RandomState(9)
+    T, B, nx, nu = 6, 4, 3, 2
+    n = nx + nu
+    A = rng.randn(T, B, n, n).astype(np.float32)
+    C = jnp.asarray(A @ A.transpose(0, 1, 3, 2)
+                    + 0.5 * np.eye(n, dtype=np.float32))
+    c = jnp.asarray(rng.randn(T, B, n).astype(np.float32))
+    F = jnp.asarray(
+        (rng.randn(T - 1, B, nx, n) * 0.3
+         + np.concatenate([np.eye(nx), np.zeros((nx, nu))], 1)
+         ).astype(np.float32))
+    x_init = jnp.asarray(rng.randn(B, nx).astype(np.float32))
+    uz = jnp.asarray(rng.rand(B, T, nu) < 0.3)
+    bm = lambda a: jnp.swapaxes(a, 0, 1)
+    cfg = ILQRConfig(
+        n_state=nx, n_ctrl=nu, T=T, lqr_iter=6, eps=0.0,
+        detach_unconverged=False, backprop=False,
+    )
+    r_x, r_p = _compare(
+        cfg, x_init, QuadCost(bm(C), bm(c)), LinDx(bm(F)), None, u_zero_I=uz
+    )
+    assert np.abs(np.asarray(r_p.u)[np.asarray(uz)]).max() == 0.0
