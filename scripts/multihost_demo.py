@@ -106,6 +106,29 @@ def main():
     assert err_solve <= 1e-6, f"distributed solve mismatch: {err_solve:.2e}"
     assert res.u.sharding.is_fully_addressable is (nproc == 1)
 
+    # collectives audit (SURVEY 2.4: cross-process traffic limited to the
+    # scalar stopping-rule / loss reductions): the compiled SPMD module
+    # must contain no large-operand collectives -- per-example tensors
+    # stay process-local
+    import re
+
+    def solve_u(xi):
+        return dilqr_tpu.solve(
+            cfg, xi, QuadCost(jnp.diag(q), p), dyn,
+            params=params0, u_lower=dyn.lower, u_upper=dyn.upper,
+        ).u
+
+    hlo = jax.jit(solve_u).lower(
+        mh.distribute_batch(mesh, x_local)
+    ).compile().as_text()
+    colls = re.findall(
+        r"(?:all-reduce|all-gather|reduce-scatter|collective-permute"
+        r"|all-to-all)[^\n]*", hlo
+    )
+    big = [c for c in colls if re.search(r"f32\[\d{3,}", c)]
+    assert not big, "per-example collective crossed hosts:\n" + "\n".join(big)
+    n_colls = len(colls)
+
     # --- one distributed IL training step vs the local reference --------
     opt = optax.rmsprop(1e-2, decay=0.5)
 
@@ -144,7 +167,8 @@ def main():
     print(
         f"MULTIHOST OK proc {pid}/{nproc} devices={n_dev} "
         f"B_global={Bg} err_solve={err_solve:.2e} "
-        f"err_params={err_params:.2e} loss={float(loss):.6f}",
+        f"err_params={err_params:.2e} loss={float(loss):.6f} "
+        f"collectives={n_colls} (0 large-operand)",
         flush=True,
     )
 
