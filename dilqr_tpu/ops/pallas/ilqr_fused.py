@@ -2,7 +2,8 @@
 (reference MPC.forward outer loop, mpc.py:248-301, plus every subroutine it
 calls) as ONE kernel invocation per 1024-example batch tile.
 
-Covers n_ctrl in {1, 2, 3} (pendulum/cartpole swing-up and the 13-state
+Covers n_ctrl <= 8 (closed-form inverses to nu=3, unrolled lane
+Gauss-Jordan beyond; pendulum/cartpole swing-up and the 13-state
 rocket), QuadCost, callable Dynamics, box bounds (or none -- encoded as
 +-inf), f32. Gains come from the exact closed-form 1-D box-QP when
 n_ctrl == 1 and from an in-kernel projected-Newton pnqp (reference
@@ -57,7 +58,7 @@ from ...utils.kernel_math import kernel_context
 from .layout import (BT, LaneView, bspec, expand_bound, from_lanes,
                      pad_batch, pad_cost_identity, to_lanes)
 
-MAX_NU = 3
+MAX_NU = 8  # nu <= 3 uses closed-form inverses, 4..8 unrolled Gauss-Jordan
 
 _DEBUG_TRUNCATE = None  # perf instrumentation: "unpack" | "init" | "rollout"
 
@@ -233,8 +234,11 @@ def _is_flat_params(params) -> bool:
 
 
 def _inv_lanes(A, m):
-    """Explicit inverse entries of a (regularized SPD) m x m lane matrix,
-    m <= 3, via reciprocal / Cramer / adjugate."""
+    """Explicit inverse entries of a (regularized SPD) m x m lane matrix:
+    reciprocal / Cramer / adjugate for m <= 3, unrolled Gauss-Jordan for
+    4 <= m <= MAX_NU (no pivoting -- sound for the SPD-plus-ridge
+    Hessians this kernel inverts, where elimination keeps the pivot
+    positive, as in an unpivoted Cholesky)."""
     if m == 1:
         return (1.0 / A[0, 0])[None, None]
     if m == 2:
@@ -244,6 +248,25 @@ def _inv_lanes(A, m):
             jnp.stack([A[1, 1] * r, -A[0, 1] * r]),
             jnp.stack([-A[1, 0] * r, A[0, 0] * r]),
         ])
+    if m > 3:
+        a = [[A[i, j] for j in range(m)] for i in range(m)]
+        shp = A.shape[2:]
+        inv = [[
+            jnp.full(shp, 1.0 if i == j else 0.0, A.dtype)
+            for j in range(m)
+        ] for i in range(m)]
+        for k in range(m):
+            piv = 1.0 / a[k][k]
+            for j in range(m):
+                a[k][j] = a[k][j] * piv
+                inv[k][j] = inv[k][j] * piv
+            for i in range(m):
+                if i != k:
+                    fct = a[i][k]
+                    for j in range(m):
+                        a[i][j] = a[i][j] - fct * a[k][j]
+                        inv[i][j] = inv[i][j] - fct * inv[k][j]
+        return jnp.stack([jnp.stack(row) for row in inv])
     # m == 3: adjugate / det
     c00 = A[1, 1] * A[2, 2] - A[1, 2] * A[2, 1]
     c01 = A[1, 2] * A[2, 0] - A[1, 0] * A[2, 2]

@@ -116,7 +116,7 @@ class ILQRConfig:
     qp_solver: str = "auto"
     # Compute backend for the hot solver stages: "auto" uses the fused
     # Pallas TPU kernels (ops/pallas) when lowering for TPU and the config
-    # supports them -- the whole-solve megakernel covers n_ctrl <= 3
+    # supports them -- the whole-solve megakernel covers n_ctrl <= 8
     # (pendulum/cartpole/rocket), QuadCost, callable Dynamics, f32, no
     # u_zero_I/delta_u; see ops/pallas/ilqr_fused.fused_supported -- and
     # falls back to the pure-XLA lax.scan path otherwise. "pallas" forces

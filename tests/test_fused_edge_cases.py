@@ -233,3 +233,33 @@ def test_fused_lindx_u_zero():
         cfg, x_init, QuadCost(bm(C), bm(c)), LinDx(bm(F)), None, u_zero_I=uz
     )
     assert np.abs(np.asarray(r_p.u)[np.asarray(uz)]).max() == 0.0
+
+
+@pytest.mark.parametrize("boxed", [False, True])
+def test_fused_nu4_gauss_jordan(boxed):
+    """nu=4 exercises the unrolled lane Gauss-Jordan inverse (round 2;
+    closed-form inverses stop at nu=3) inside the in-kernel pnqp and gain
+    solves, vs the XLA path."""
+    import jax.numpy as jnp
+
+    from dilqr_tpu.types import LinDx
+
+    rng = np.random.RandomState(11)
+    T, B, nx, nu = 6, 4, 4, 4
+    n = nx + nu
+    A = rng.randn(T, B, n, n).astype(np.float32)
+    C = jnp.asarray(A @ A.transpose(0, 1, 3, 2)
+                    + 1.0 * np.eye(n, dtype=np.float32))
+    c = jnp.asarray(rng.randn(T, B, n).astype(np.float32))
+    F = jnp.asarray(
+        (rng.randn(T - 1, B, nx, n) * 0.2
+         + np.concatenate([np.eye(nx), np.zeros((nx, nu))], 1)
+         ).astype(np.float32))
+    x_init = jnp.asarray(rng.randn(B, nx).astype(np.float32))
+    bm = lambda a: jnp.swapaxes(a, 0, 1)
+    cfg = ILQRConfig(
+        n_state=nx, n_ctrl=nu, T=T, lqr_iter=5, eps=0.0,
+        detach_unconverged=False, backprop=False,
+    )
+    kw = dict(u_lower=-0.4, u_upper=0.4) if boxed else {}
+    _compare(cfg, x_init, QuadCost(bm(C), bm(c)), LinDx(bm(F)), None, **kw)
