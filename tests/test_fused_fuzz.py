@@ -128,3 +128,74 @@ def test_vmap_over_solve_xla_path():
     )(scales)
     assert out.shape == (3, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fused_fuzz_round2_features(seed):
+    """Round-2 feature-matrix fuzz: random combinations of LinDx vs env
+    dynamics, zero-control masks, scalar trust regions, warm starts, and
+    nu up to 5 (the Gauss-Jordan lane inverse path), fused vs XLA."""
+    from dilqr_tpu.types import LinDx
+
+    rng = np.random.RandomState(500 + seed)
+    nu = int(rng.randint(1, 6))
+    nx = int(rng.randint(2, 6))
+    T = int(rng.randint(3, 8))
+    B = int(rng.randint(1, 5))
+    n = nx + nu
+    use_lindx = seed % 2 == 0
+    use_uz = rng.rand() < 0.5
+    use_delta = rng.rand() < 0.5
+    use_warm = rng.rand() < 0.5
+
+    q = jnp.asarray(10.0 ** rng.uniform(-1, 1, n), F32)
+    p = jnp.asarray(0.5 * rng.randn(n), F32)
+    x_init = jnp.asarray(rng.randn(B, nx), F32)
+
+    if use_lindx:
+        F = jnp.asarray(
+            np.swapaxes(
+                (0.25 * rng.randn(T - 1, B, nx, n)
+                 + np.concatenate([np.eye(nx), np.zeros((nx, nu))], 1)
+                 ).astype(np.float32), 0, 1))
+        f = jnp.asarray(
+            np.swapaxes((0.1 * rng.randn(T - 1, B, nx)).astype(np.float32),
+                        0, 1))
+        dyn = LinDx(F, f if rng.rand() < 0.7 else None)
+        params = None
+        lo, hi = -0.6, 0.6
+        decay, ls = 0.5, 3
+    else:
+        dyn, params, lo, hi = _random_env(rng, nx, nu)
+        decay, ls = dyn.linesearch_decay, dyn.max_linesearch_iter
+
+    cfg = ILQRConfig(
+        n_state=nx, n_ctrl=nu, T=T, lqr_iter=4, eps=0.0,
+        linesearch_decay=decay, max_linesearch_iter=ls,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    boxed = use_delta or rng.rand() < 0.7  # delta_u requires bounds
+    kw = {}
+    if boxed:
+        kw.update(u_lower=lo, u_upper=hi)
+    if use_delta:
+        kw.update(delta_u=float(0.2 + 0.3 * rng.rand()))
+    if use_uz:
+        kw.update(u_zero_I=jnp.asarray(rng.rand(B, T, nu) < 0.3))
+    if use_warm:
+        kw.update(u_init=jnp.asarray(
+            0.3 * rng.randn(B, T, nu).astype(np.float32)))
+
+    args = (x_init, QuadCost(jnp.diag(q), p), dyn)
+    r_x = solve(dataclasses.replace(cfg, backend="xla"), *args,
+                params=params, **kw)
+    r_p = solve(dataclasses.replace(cfg, backend="pallas"), *args,
+                params=params, **kw)
+    cx, cp = np.asarray(r_x.costs), np.asarray(r_p.costs)
+    scale = np.abs(cx).max() + 1e-6
+    tag = (f"seed={seed} nx={nx} nu={nu} T={T} lindx={use_lindx} "
+           f"uz={use_uz} delta={use_delta} warm={use_warm} boxed={boxed}")
+    assert np.abs(cx - cp).max() / scale < 1e-4, (tag, cx, cp)
+    np.testing.assert_allclose(
+        np.asarray(r_p.u), np.asarray(r_x.u), atol=5e-3, err_msg=tag
+    )
