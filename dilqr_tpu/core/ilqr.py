@@ -154,7 +154,8 @@ def ilqr_loop(
                                              lane_compatible)
 
         use_fused = fused_supported(
-            cfg, cost, dyn, params, u_zero_I, delta_u, dtype
+            cfg, cost, dyn, params, u_zero_I, delta_u, dtype,
+            cost_small=cost_small, u_init_zero=u_init_zero,
         ) and (
             isinstance(dyn, LinDx)  # F/f ride in as data; nothing to probe
             or lane_compatible(dyn, params, cfg.n_state, cfg.n_ctrl)

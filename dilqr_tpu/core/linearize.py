@@ -88,8 +88,12 @@ def linearize_dynamics(
     """
     T, B, nx = x.shape
     nu = u.shape[-1]
-    xf = x[: T - 1].reshape((T - 1) * B, nx)
-    uf = u[: T - 1].reshape((T - 1) * B, nu)
+    # NB vmap over (time, batch) as separate axes -- flattening them into
+    # one (T-1)*B axis would merge the batch-sharded dim with time and
+    # force XLA to all-gather per-example trajectories across devices
+    # (caught by the multihost collectives audit)
+    xf = x[: T - 1]
+    uf = u[: T - 1]
 
     lin_f = linearize_fn if linearize_fn is not None else step_fn
     if jacobian_fn is not None and method in (
@@ -100,7 +104,8 @@ def linearize_dynamics(
     else:
         jac = _point_jacobian(lin_f, method, fd_eps)
 
-    R, S = jax.vmap(lambda xi, ui: jac(xi, ui, params))(xf, uf)
+    per_point = jax.vmap(jax.vmap(lambda xi, ui: jac(xi, ui, params)))
+    R, S = per_point(xf, uf)
 
     if method is GradMethod.ANALYTIC_CHECK:
         # functional version of the reference's (stale, assert-False)
@@ -109,7 +114,9 @@ def linearize_dynamics(
         # differences beyond the reference's 1e-8 print threshold scaled
         # to the fd step.
         fd = _point_jacobian(lin_f, GradMethod.FINITE_DIFF, fd_eps)
-        Rn, Sn = jax.vmap(lambda xi, ui: fd(xi, ui, params))(xf, uf)
+        Rn, Sn = jax.vmap(jax.vmap(lambda xi, ui: fd(xi, ui, params)))(
+            xf, uf
+        )
         err = jnp.maximum(
             jnp.abs(R - Rn).max(), jnp.abs(S - Sn).max()
         )
@@ -128,17 +135,13 @@ def linearize_dynamics(
         if supports_host_callback():
             jax.debug.callback(_warn, err)
 
-    new_x = jax.vmap(lambda xi, ui: step_fn(xi, ui, params))(xf, uf)
+    new_x = jax.vmap(jax.vmap(lambda xi, ui: step_fn(xi, ui, params)))(
+        xf, uf
+    )
     f = new_x - bmv(R, xf) - bmv(S, uf)
 
-    F = jnp.concatenate(
-        [
-            R.reshape(T - 1, B, nx, nx),
-            S.reshape(T - 1, B, nx, nu),
-        ],
-        axis=-1,
-    )
-    return F, f.reshape(T - 1, B, nx)
+    F = jnp.concatenate([R, S], axis=-1)
+    return F, f
 
 
 def approximate_cost(

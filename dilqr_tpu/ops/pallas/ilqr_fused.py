@@ -71,7 +71,8 @@ PNQP_ARMIJO_ITER = 10
 
 
 def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False,
-                lin_dx: bool = False) -> int:
+                lin_dx: bool = False, lanes_cost: bool = False,
+                uz: bool = False, warm: bool = False) -> int:
     """Approximate per-tile VMEM footprint (f32 lanes tiles): declared
     scratch (F_t/c_back recomputed at use site, trials cost-only, so only
     trajectory, gains, and trackers persist) plus the Riccati step's live
@@ -96,6 +97,14 @@ def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False,
         # F (and f) arrive as whole-T VMEM input blocks; Mosaic
         # double-buffers pipelined inputs, hence the factor 2
         per_t += 2 * (nx * n + nx)
+    if lanes_cost:
+        # per-example cost (cost_small unavailable): C/c whole-T lane
+        # input blocks, double-buffered
+        per_t += 2 * (n * n + n)
+    if uz:
+        per_t += 2 * nu
+    if warm:
+        per_t += 2 * nu
     scratch = (
         T * per_t + k_tiles + nx * nx + nx  # V, v
         + 3                                 # du2, cc, old_cost
@@ -107,13 +116,15 @@ def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False,
 VMEM_SCRATCH_LIMIT = 15 * 1024 * 1024  # of the 16 MB/core
 
 
-def use_stream_k(cfg: ILQRConfig, lin_dx: bool = False) -> bool:
+def use_stream_k(cfg: ILQRConfig, lin_dx: bool = False,
+                 lanes_cost: bool = False, uz: bool = False,
+                 warm: bool = False) -> bool:
     """Long horizons whose full K stack busts the VMEM budget stream K
     through HBM instead of falling back to the ~13x slower XLA scan."""
+    extras = dict(lin_dx=lin_dx, lanes_cost=lanes_cost, uz=uz, warm=warm)
     return (
-        _vmem_bytes(cfg, stream_k=False, lin_dx=lin_dx) > VMEM_SCRATCH_LIMIT
-        and _vmem_bytes(cfg, stream_k=True, lin_dx=lin_dx)
-        <= VMEM_SCRATCH_LIMIT
+        _vmem_bytes(cfg, stream_k=False, **extras) > VMEM_SCRATCH_LIMIT
+        and _vmem_bytes(cfg, stream_k=True, **extras) <= VMEM_SCRATCH_LIMIT
     )
 
 
@@ -128,7 +139,8 @@ def _static_scalar(v):
 
 
 def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
-                    dtype) -> bool:
+                    dtype, cost_small=None, u_init_zero: bool = False,
+                    ) -> bool:
     lin = isinstance(dyn, LinDx)
     if lin:
         # time-varying affine (LQR) problems: F/f ride in as lane inputs;
@@ -141,6 +153,12 @@ def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
             and dyn.jacobian is None
             and _is_flat_params(params)
         )
+    extras = dict(
+        lin_dx=lin,
+        lanes_cost=cost_small is None,  # per-example cost -> lane inputs
+        uz=u_zero_I is not None,
+        warm=not u_init_zero,
+    )
     return (
         isinstance(cost, QuadCost)
         and dyn_ok
@@ -150,7 +168,7 @@ def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
         and not cfg.unroll
         and cfg.verbose < 1
         and dtype == jnp.float32
-        and _vmem_bytes(cfg, stream_k=use_stream_k(cfg, lin), lin_dx=lin)
+        and _vmem_bytes(cfg, stream_k=use_stream_k(cfg, **extras), **extras)
         <= VMEM_SCRATCH_LIMIT
     )
 
@@ -993,7 +1011,11 @@ def _pallas_solve(cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs,
     f32 = jnp.float32
 
     stream_k = (
-        use_stream_k(cfg, lin_dx) if force_stream_k is None
+        use_stream_k(
+            cfg, lin_dx, lanes_cost=cost_mode == "lanes",
+            uz=uz_present, warm=not u0_zero,
+        )
+        if force_stream_k is None
         else force_stream_k
     )
     step_fn = None if lin_dx else dyn.step

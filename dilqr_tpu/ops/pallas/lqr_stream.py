@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...models.base import Dynamics
 from ...types import GradMethod, ILQRConfig, QuadCost
 from ...utils.kernel_math import kernel_context
-from .ilqr_fused import (MAX_NU, PNQP_REG, _inv_lanes, _is_flat_params, _mm,
+from .ilqr_fused import (PNQP_REG, _inv_lanes, _is_flat_params, _mm,
                          _mv, _pnqp_lanes, _static_bounds)
 from .layout import BT, from_lanes, pad_batch, to_lanes
 
@@ -49,7 +49,9 @@ def stream_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
     if not (
         isinstance(cost, QuadCost)
         and isinstance(dyn, Dynamics)
-        and 1 <= cfg.n_ctrl <= MAX_NU
+        # pinned independently of the megakernel's MAX_NU: this
+        # EXPERIMENTAL backend is only exercised by tests at nu <= 3
+        and 1 <= cfg.n_ctrl <= 3
         and u_zero_I is None
         and delta_u is None
         and cfg.qp_solver == "auto"

@@ -116,11 +116,14 @@ class ILQRConfig:
     qp_solver: str = "auto"
     # Compute backend for the hot solver stages: "auto" uses the fused
     # Pallas TPU kernels (ops/pallas) when lowering for TPU and the config
-    # supports them -- the whole-solve megakernel covers n_ctrl <= 8
-    # (pendulum/cartpole/rocket), QuadCost, callable Dynamics, f32, no
-    # u_zero_I/delta_u; see ops/pallas/ilqr_fused.fused_supported -- and
-    # falls back to the pure-XLA lax.scan path otherwise. "pallas" forces
-    # the kernels (interpret-mode off TPU -- tests); "xla" disables them.
+    # supports them -- the whole-solve megakernel covers n_ctrl <= 8,
+    # QuadCost, callable Dynamics AND LinDx problems, u_zero_I masks,
+    # concrete-scalar delta_u trust regions, f32, VMEM-fitting horizons
+    # (longer ones stream K through HBM); see
+    # ops/pallas/ilqr_fused.fused_supported -- and falls back to the
+    # pure-XLA lax.scan path otherwise (f64, module costs, traced or
+    # per-example bounds, unrolled autodiff). "pallas" forces the kernels
+    # (interpret-mode off TPU -- tests); "xla" disables them.
     # "stream" additionally enables the EXPERIMENTAL time-blocked streaming
     # kernels for horizons past the megakernel's VMEM budget (see
     # ops/pallas/lqr_stream.py -- loses to the XLA scan on runtimes with

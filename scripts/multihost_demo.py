@@ -121,11 +121,31 @@ def main():
     hlo = jax.jit(solve_u).lower(
         mh.distribute_batch(mesh, x_local)
     ).compile().as_text()
-    colls = re.findall(
-        r"(?:all-reduce|all-gather|reduce-scatter|collective-permute"
-        r"|all-to-all)[^\n]*", hlo
-    )
-    big = [c for c in colls if re.search(r"f32\[\d{3,}", c)]
+    # whole LINES containing a collective op, so both the result shape
+    # (the large side of an all-gather, printed before the op name) and
+    # the operand shapes are inspected
+    colls = [
+        line for line in hlo.splitlines()
+        if re.search(
+            r"\b(?:all-reduce|all-gather|reduce-scatter"
+            r"|collective-permute|all-to-all)\b", line)
+        and "=" in line
+    ]
+
+    def max_elems(line):
+        tots = [1]
+        for m in re.finditer(r"[a-z0-9]+\[([0-9,]*)\]", line):
+            dims = [int(d) for d in m.group(1).split(",") if d]
+            tot = 1
+            for d in dims:
+                tot *= d
+            tots.append(tot)
+        return max(tots)
+
+    # legit collectives are scalar reductions over the batch ([B_global]
+    # at most -- the stopping-rule pmax / loss psum); anything bigger
+    # moved a per-example tensor across processes
+    big = [c for c in colls if max_elems(c) > Bg]
     assert not big, "per-example collective crossed hosts:\n" + "\n".join(big)
     n_colls = len(colls)
 

@@ -170,6 +170,30 @@ def test_fused_delta_u():
     assert np.abs(np.asarray(r_p.u)).max() <= 1.5 + 1e-6
 
 
+def _random_lindx(seed, T, B, nx, nu, ridge=0.5, f_scale=0.1, F_scale=0.3):
+    """Batch-major random LQR problem: SPD cost, near-identity F.
+    Returns (cfg-ready pieces): QuadCost, LinDx (f=None if f_scale is
+    None), x_init."""
+    from dilqr_tpu.types import LinDx
+
+    rng = np.random.RandomState(seed)
+    n = nx + nu
+    A = rng.randn(T, B, n, n).astype(np.float32)
+    C = jnp.asarray(A @ A.transpose(0, 1, 3, 2)
+                    + ridge * np.eye(n, dtype=np.float32))
+    c = jnp.asarray(rng.randn(T, B, n).astype(np.float32))
+    F = jnp.asarray(
+        (rng.randn(T - 1, B, nx, n) * F_scale
+         + np.concatenate([np.eye(nx), np.zeros((nx, nu))], 1)
+         ).astype(np.float32))
+    f = (None if f_scale is None else
+         jnp.asarray((rng.randn(T - 1, B, nx) * f_scale).astype(np.float32)))
+    x_init = jnp.asarray(rng.randn(B, nx).astype(np.float32))
+    bm = lambda a: jnp.swapaxes(a, 0, 1)
+    return (QuadCost(bm(C), bm(c)),
+            LinDx(bm(F), None if f is None else bm(f)), x_init, rng)
+
+
 @pytest.mark.parametrize("boxed", [False, True])
 @pytest.mark.parametrize("with_f", [True, False])
 def test_fused_lindx(boxed, with_f):
@@ -177,89 +201,43 @@ def test_fused_lindx(boxed, with_f):
     whole-solve kernel (round 2): F/f ride in as lane inputs, the
     linearization stage reads them instead of tracing jax.linearize, and
     the rollout steps x' = F tau + f, vs the XLA path."""
-    import jax.numpy as jnp
-
-    from dilqr_tpu.types import LinDx
-
-    rng = np.random.RandomState(3)
-    T, B, nx, nu = 8, 6, 3, 2
-    n = nx + nu
-    A = rng.randn(T, B, n, n).astype(np.float32)
-    C = jnp.asarray(A @ A.transpose(0, 1, 3, 2)
-                    + 0.5 * np.eye(n, dtype=np.float32))
-    c = jnp.asarray(rng.randn(T, B, n).astype(np.float32))
-    F = jnp.asarray(
-        (rng.randn(T - 1, B, nx, n) * 0.3
-         + np.concatenate([np.eye(nx), np.zeros((nx, nu))], 1)
-         ).astype(np.float32))
-    f = jnp.asarray((rng.randn(T - 1, B, nx) * 0.1).astype(np.float32))
-    x_init = jnp.asarray(rng.randn(B, nx).astype(np.float32))
-    bm = lambda a: jnp.swapaxes(a, 0, 1)
+    cost, dynx, x_init, _ = _random_lindx(
+        3, 8, 6, 3, 2, f_scale=0.1 if with_f else None
+    )
     cfg = ILQRConfig(
-        n_state=nx, n_ctrl=nu, T=T, lqr_iter=8, eps=0.0,
+        n_state=3, n_ctrl=2, T=8, lqr_iter=8, eps=0.0,
         detach_unconverged=False, backprop=False,
     )
     kw = dict(u_lower=-0.5, u_upper=0.5) if boxed else {}
-    dynx = LinDx(bm(F), bm(f) if with_f else None)
-    _compare(cfg, x_init, QuadCost(bm(C), bm(c)), dynx, None, **kw)
+    _compare(cfg, x_init, cost, dynx, None, **kw)
 
 
 def test_fused_lindx_u_zero():
     """LinDx + zero-control constraints on the fused path (masked
     free-subspace gains, unbounded branch)."""
-    import jax.numpy as jnp
-
-    from dilqr_tpu.types import LinDx
-
-    rng = np.random.RandomState(9)
-    T, B, nx, nu = 6, 4, 3, 2
-    n = nx + nu
-    A = rng.randn(T, B, n, n).astype(np.float32)
-    C = jnp.asarray(A @ A.transpose(0, 1, 3, 2)
-                    + 0.5 * np.eye(n, dtype=np.float32))
-    c = jnp.asarray(rng.randn(T, B, n).astype(np.float32))
-    F = jnp.asarray(
-        (rng.randn(T - 1, B, nx, n) * 0.3
-         + np.concatenate([np.eye(nx), np.zeros((nx, nu))], 1)
-         ).astype(np.float32))
-    x_init = jnp.asarray(rng.randn(B, nx).astype(np.float32))
-    uz = jnp.asarray(rng.rand(B, T, nu) < 0.3)
-    bm = lambda a: jnp.swapaxes(a, 0, 1)
+    cost, dynx, x_init, rng = _random_lindx(9, 6, 4, 3, 2, f_scale=None)
+    uz = jnp.asarray(rng.rand(4, 6, 2) < 0.3)
     cfg = ILQRConfig(
-        n_state=nx, n_ctrl=nu, T=T, lqr_iter=6, eps=0.0,
+        n_state=3, n_ctrl=2, T=6, lqr_iter=6, eps=0.0,
         detach_unconverged=False, backprop=False,
     )
-    r_x, r_p = _compare(
-        cfg, x_init, QuadCost(bm(C), bm(c)), LinDx(bm(F)), None, u_zero_I=uz
-    )
+    r_x, r_p = _compare(cfg, x_init, cost, dynx, None, u_zero_I=uz)
     assert np.abs(np.asarray(r_p.u)[np.asarray(uz)]).max() == 0.0
 
 
+@pytest.mark.parametrize("nu", [4, 6, 8])
 @pytest.mark.parametrize("boxed", [False, True])
-def test_fused_nu4_gauss_jordan(boxed):
-    """nu=4 exercises the unrolled lane Gauss-Jordan inverse (round 2;
-    closed-form inverses stop at nu=3) inside the in-kernel pnqp and gain
-    solves, vs the XLA path."""
-    import jax.numpy as jnp
-
-    from dilqr_tpu.types import LinDx
-
-    rng = np.random.RandomState(11)
-    T, B, nx, nu = 6, 4, 4, 4
-    n = nx + nu
-    A = rng.randn(T, B, n, n).astype(np.float32)
-    C = jnp.asarray(A @ A.transpose(0, 1, 3, 2)
-                    + 1.0 * np.eye(n, dtype=np.float32))
-    c = jnp.asarray(rng.randn(T, B, n).astype(np.float32))
-    F = jnp.asarray(
-        (rng.randn(T - 1, B, nx, n) * 0.2
-         + np.concatenate([np.eye(nx), np.zeros((nx, nu))], 1)
-         ).astype(np.float32))
-    x_init = jnp.asarray(rng.randn(B, nx).astype(np.float32))
-    bm = lambda a: jnp.swapaxes(a, 0, 1)
+def test_fused_gauss_jordan_nu(nu, boxed):
+    """nu in 4..8 exercises the unrolled lane Gauss-Jordan inverse
+    (round 2; closed-form inverses stop at nu=3) inside the in-kernel
+    pnqp and gain solves, vs the XLA path -- covering the full advertised
+    MAX_NU=8 envelope."""
+    cost, dynx, x_init, _ = _random_lindx(
+        11 + nu, 5, 3, 4, nu, ridge=1.0, f_scale=None, F_scale=0.2
+    )
     cfg = ILQRConfig(
-        n_state=nx, n_ctrl=nu, T=T, lqr_iter=5, eps=0.0,
+        n_state=4, n_ctrl=nu, T=5, lqr_iter=4, eps=0.0,
         detach_unconverged=False, backprop=False,
     )
     kw = dict(u_lower=-0.4, u_upper=0.4) if boxed else {}
-    _compare(cfg, x_init, QuadCost(bm(C), bm(c)), LinDx(bm(F)), None, **kw)
+    _compare(cfg, x_init, cost, dynx, None, **kw)
