@@ -314,6 +314,21 @@ def _mm(A, B):
     return (A[:, :, None] * B[None]).sum(1)
 
 
+def _mm_sym(A, B):
+    """A [m,k,...] @ B [k,m,...] where the product is KNOWN symmetric
+    (e.g. F^T (V F) with V symmetric, K^T (Quu K)): compute only the
+    upper triangle and mirror -- saves m(m-1)/2 of the m^2 k-length
+    dot products, the dominant Riccati cost at larger n."""
+    m = A.shape[0]
+    rows = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i, m):
+            s = (A[i] * B[:, j]).sum(0)
+            rows[i][j] = s
+            rows[j][i] = s
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
 def _pnqp_lanes(H, q, lb, ub, x0, n_iter, nu):
     """In-kernel batched projected-Newton box-QP on lanes (reference
     pnqp.py:5-82; mirrors ops/pnqp.py's masked fixed-shape iteration).
@@ -669,7 +684,8 @@ def _ilqr_kernel(
 
                 tmp = _mm(jnp.swapaxes(V, 0, 1), F)       # V^T F = V F
                 FT = jnp.swapaxes(F, 0, 1)                # [n,nx,8,128]
-                Q = Ct + _mm(FT, tmp)                     # [n,n,8,128]
+                # F^T V F is symmetric (V is); triangle + mirror
+                Q = Ct + _mm_sym(FT, tmp)                 # [n,n,8,128]
                 q = cb + _mv(FT, v)                       # [n,8,128]
 
                 Qxx = Q[:nx, :nx]
@@ -743,8 +759,13 @@ def _ilqr_kernel(
                 K = -_mm(Hinv, Qux_m)                     # [nu,nx,8,128]
 
                 KT = jnp.swapaxes(K, 0, 1)                # [nx,nu,8,128]
-                Vn = Qxx + _mm(Qxu, K) + _mm(KT, Qux) + _mm(KT, _mm(Quu, K))
-                vn = qx + _mv(Qxu, kt) + _mv(KT, qu) + _mv(KT, _mv(Quu, kt))
+                # K^T Qux = (Qxu K)^T (Q symmetric) and K^T Quu K is
+                # symmetric: one product + mirror instead of three
+                M = _mm(Qxu, K)
+                Vn = (Qxx + M + jnp.swapaxes(M, 0, 1)
+                      + _mm_sym(KT, _mm(Quu, K)))
+                # v' = qx + Qxu k + K^T (qu + Quu k)
+                vn = qx + _mv(Qxu, kt) + _mv(KT, qu + _mv(Quu, kt))
                 V_ref[...] = Vn
                 v_ref[...] = vn
                 k_write(i, t, K)
