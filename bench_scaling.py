@@ -82,31 +82,11 @@ def main():
     sh = batch_sharding(mesh)
     jitted = jax.jit(fn, in_shardings=sh, out_shardings=sh)
 
-    # 1) collectives audit on the compiled N-device module: whole HLO
-    # lines (result shapes included); legit collectives are scalar
-    # reductions over the batch ([B] at most), anything larger moved a
-    # per-example tensor across devices
+    # 1) collectives audit on the compiled N-device module
+    from dilqr_tpu.parallel.audit import audit_collectives
+
     compiled = jitted.lower(jax.device_put(x0, sh)).compile()
-    hlo = compiled.as_text()
-    colls = [
-        line for line in hlo.splitlines()
-        if re.search(
-            r"\b(?:all-reduce|all-gather|reduce-scatter"
-            r"|collective-permute|all-to-all)\b", line)
-        and "=" in line
-    ]
-
-    def max_elems(line):
-        tots = [1]
-        for m in re.finditer(r"[a-z0-9]+\[([0-9,]*)\]", line):
-            dims = [int(d) for d in m.group(1).split(",") if d]
-            tot = 1
-            for d in dims:
-                tot *= d
-            tots.append(tot)
-        return max(tots)
-
-    big = [c for c in colls if max_elems(c) > B]
+    colls, big = audit_collectives(compiled.as_text(), B)
     print(f"devices={n_dev}  B={B}")
     print(f"collectives in compiled module: {len(colls)} "
           f"(large-operand: {len(big)})")

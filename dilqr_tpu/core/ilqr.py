@@ -156,6 +156,7 @@ def ilqr_loop(
         use_fused = fused_supported(
             cfg, cost, dyn, params, u_zero_I, delta_u, dtype,
             cost_small=cost_small, u_init_zero=u_init_zero,
+            u_lower=u_lower, u_upper=u_upper,
         ) and (
             isinstance(dyn, LinDx)  # F/f ride in as data; nothing to probe
             or lane_compatible(dyn, params, cfg.n_state, cfg.n_ctrl)

@@ -228,10 +228,19 @@ def solve(
         )
 
     # forward-only hints for the fused Pallas path: the user's compact
-    # example-invariant cost ([n,n] or [T,n,n]) and a known-zeros warm start
+    # example-invariant cost ([n,n]+[n] or [T,n,n]+[T,n]) and a known-zeros
+    # warm start. Only the exactly-conforming pairs qualify -- mixed ranks
+    # (e.g. C [n,n] with c [T,n]) take the lanes path, and the VMEM gate
+    # must agree with that dispatch (fused_supported keys on
+    # cost_small is None)
     cost_small = None
-    if isinstance(cost, QuadCost) and cost.C.ndim in (2, 3) and cost.c.ndim in (1, 2):
-        cost_small = (cost.C, cost.c)
+    if isinstance(cost, QuadCost):
+        Cs_, cs_ = cost.C, cost.c
+        if (Cs_.ndim == 2 and cs_.ndim == 1) or (
+            Cs_.ndim == 3 and cs_.ndim == 2
+            and Cs_.shape[0] == T and cs_.shape[0] == T
+        ):
+            cost_small = (Cs_, cs_)
     u_init_zero = u_init is None
 
     cost = canonicalize_cost(cost, T, B, cfg.n_tau)

@@ -140,7 +140,7 @@ def _static_scalar(v):
 
 def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
                     dtype, cost_small=None, u_init_zero: bool = False,
-                    ) -> bool:
+                    u_lower=None, u_upper=None) -> bool:
     lin = isinstance(dyn, LinDx)
     if lin:
         # time-varying affine (LQR) problems: F/f ride in as lane inputs;
@@ -164,6 +164,10 @@ def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
         and dyn_ok
         and 1 <= cfg.n_ctrl <= MAX_NU
         and (delta_u is None or _static_scalar(delta_u) is not None)
+        # traced / per-time / per-example bounds stay on the XLA path
+        # (as the ILQRConfig.backend doc promises); static bounds bake
+        # into the kernel as constants
+        and _static_bounds(u_lower, u_upper, cfg.n_ctrl) is not None
         and cfg.qp_solver == "auto"
         and not cfg.unroll
         and cfg.verbose < 1

@@ -23,6 +23,11 @@ class QuadCost(NamedTuple):
     C: [B, T, n_tau, n_tau] (or broadcastable: [n_tau,n_tau], [T,n_tau,n_tau])
     c: [B, T, n_tau]        (or broadcastable)
 
+    C must be SYMMETRIC (only its symmetric part enters the quadratic
+    form; the reference assumes this too, and the fused kernels exploit
+    it via triangle-and-mirror products -- an asymmetric C would make
+    the pallas and xla backends diverge).
+
     Reference: definitions.py:3, broadcast rules mpc.py:205-226.
     """
 

@@ -110,42 +110,18 @@ def main():
     # scalar stopping-rule / loss reductions): the compiled SPMD module
     # must contain no large-operand collectives -- per-example tensors
     # stay process-local
-    import re
-
     def solve_u(xi):
         return dilqr_tpu.solve(
             cfg, xi, QuadCost(jnp.diag(q), p), dyn,
             params=params0, u_lower=dyn.lower, u_upper=dyn.upper,
         ).u
 
+    from dilqr_tpu.parallel.audit import audit_collectives
+
     hlo = jax.jit(solve_u).lower(
         mh.distribute_batch(mesh, x_local)
     ).compile().as_text()
-    # whole LINES containing a collective op, so both the result shape
-    # (the large side of an all-gather, printed before the op name) and
-    # the operand shapes are inspected
-    colls = [
-        line for line in hlo.splitlines()
-        if re.search(
-            r"\b(?:all-reduce|all-gather|reduce-scatter"
-            r"|collective-permute|all-to-all)\b", line)
-        and "=" in line
-    ]
-
-    def max_elems(line):
-        tots = [1]
-        for m in re.finditer(r"[a-z0-9]+\[([0-9,]*)\]", line):
-            dims = [int(d) for d in m.group(1).split(",") if d]
-            tot = 1
-            for d in dims:
-                tot *= d
-            tots.append(tot)
-        return max(tots)
-
-    # legit collectives are scalar reductions over the batch ([B_global]
-    # at most -- the stopping-rule pmax / loss psum); anything bigger
-    # moved a per-example tensor across processes
-    big = [c for c in colls if max_elems(c) > Bg]
+    colls, big = audit_collectives(hlo, Bg)
     assert not big, "per-example collective crossed hosts:\n" + "\n".join(big)
     n_colls = len(colls)
 

@@ -225,10 +225,10 @@ def test_fused_lindx_u_zero():
     assert np.abs(np.asarray(r_p.u)[np.asarray(uz)]).max() == 0.0
 
 
-@pytest.mark.parametrize("nu", [4, 6, 8])
+@pytest.mark.parametrize("nu", [4, 5, 6, 7, 8])
 @pytest.mark.parametrize("boxed", [False, True])
 def test_fused_gauss_jordan_nu(nu, boxed):
-    """nu in 4..8 exercises the unrolled lane Gauss-Jordan inverse
+    """nu in 4..8 (odd and even) exercises the unrolled lane Gauss-Jordan inverse
     (round 2; closed-form inverses stop at nu=3) inside the in-kernel
     pnqp and gain solves, vs the XLA path -- covering the full advertised
     MAX_NU=8 envelope."""
