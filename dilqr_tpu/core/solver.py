@@ -72,11 +72,18 @@ def canonicalize_u_init(u_init, T: int, B: int, n_ctrl: int, dtype):
 
 def canonicalize_bound(v, T: int, B: int, n_ctrl: int, dtype):
     """Scalar | [nu] | [T,nu] | [B,T,nu] -> scalar/[nu] (kept compact --
-    downstream broadcasting handles them, and the fused kernel can bake
-    example-invariant bounds in as compile-time constants) or time-major
-    [T,B,nu]."""
+    downstream broadcasting handles them) or time-major [T,B,nu].
+
+    Concrete scalars/[nu] stay HOST (numpy) constants: jnp.asarray inside
+    a trace lifts even python floats into tracers, which would defeat the
+    fused kernel's bake-bounds-as-compile-time-constants fast path
+    (ops/pallas/ilqr_fused._static_bounds)."""
     if v is None:
         return None
+    import numpy as np
+
+    if not isinstance(v, jax.core.Tracer) and np.ndim(v) <= 1:
+        return np.asarray(v, dtype)
     v = jnp.asarray(v, dtype)
     if v.ndim <= 1:
         return v

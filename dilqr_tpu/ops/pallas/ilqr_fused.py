@@ -72,7 +72,8 @@ PNQP_ARMIJO_ITER = 10
 
 def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False,
                 lin_dx: bool = False, lanes_cost: bool = False,
-                uz: bool = False, warm: bool = False) -> int:
+                uz: bool = False, warm: bool = False,
+                dyn_bounds: bool = False) -> int:
     """Approximate per-tile VMEM footprint (f32 lanes tiles): declared
     scratch (F_t/c_back recomputed at use site, trials cost-only, so only
     trajectory, gains, and trackers persist) plus the Riccati step's live
@@ -105,6 +106,8 @@ def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False,
         per_t += 2 * nu
     if warm:
         per_t += 2 * nu
+    if dyn_bounds:
+        per_t += 2 * 2 * nu  # lb/ub lane inputs, double-buffered
     scratch = (
         T * per_t + k_tiles + nx * nx + nx  # V, v
         + 3                                 # du2, cc, old_cost
@@ -118,10 +121,11 @@ VMEM_SCRATCH_LIMIT = 15 * 1024 * 1024  # of the 16 MB/core
 
 def use_stream_k(cfg: ILQRConfig, lin_dx: bool = False,
                  lanes_cost: bool = False, uz: bool = False,
-                 warm: bool = False) -> bool:
+                 warm: bool = False, dyn_bounds: bool = False) -> bool:
     """Long horizons whose full K stack busts the VMEM budget stream K
     through HBM instead of falling back to the ~13x slower XLA scan."""
-    extras = dict(lin_dx=lin_dx, lanes_cost=lanes_cost, uz=uz, warm=warm)
+    extras = dict(lin_dx=lin_dx, lanes_cost=lanes_cost, uz=uz, warm=warm,
+                  dyn_bounds=dyn_bounds)
     return (
         _vmem_bytes(cfg, stream_k=False, **extras) > VMEM_SCRATCH_LIMIT
         and _vmem_bytes(cfg, stream_k=True, **extras) <= VMEM_SCRATCH_LIMIT
@@ -158,16 +162,15 @@ def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
         lanes_cost=cost_small is None,  # per-example cost -> lane inputs
         uz=u_zero_I is not None,
         warm=not u_init_zero,
+        # concrete bounds bake in as compile-time constants; traced or
+        # per-time/per-example bounds ride as two [T, nu] lane inputs
+        dyn_bounds=_static_bounds(u_lower, u_upper, cfg.n_ctrl) is None,
     )
     return (
         isinstance(cost, QuadCost)
         and dyn_ok
         and 1 <= cfg.n_ctrl <= MAX_NU
         and (delta_u is None or _static_scalar(delta_u) is not None)
-        # traced / per-time / per-example bounds stay on the XLA path
-        # (as the ILQRConfig.backend doc promises); static bounds bake
-        # into the kernel as constants
-        and _static_bounds(u_lower, u_upper, cfg.n_ctrl) is not None
         and cfg.qp_solver == "auto"
         and not cfg.unroll
         and cfg.verbose < 1
@@ -1039,6 +1042,7 @@ def _pallas_solve(cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs,
         use_stream_k(
             cfg, lin_dx, lanes_cost=cost_mode == "lanes",
             uz=uz_present, warm=not u0_zero,
+            dyn_bounds=bounds_static is None,
         )
         if force_stream_k is None
         else force_stream_k

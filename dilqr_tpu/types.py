@@ -126,9 +126,11 @@ class ILQRConfig:
     # concrete-scalar delta_u trust regions, f32, VMEM-fitting horizons
     # (longer ones stream K through HBM); see
     # ops/pallas/ilqr_fused.fused_supported -- and falls back to the
-    # pure-XLA lax.scan path otherwise (f64, module costs, traced or
-    # per-example bounds, unrolled autodiff). "pallas" forces the kernels
-    # (interpret-mode off TPU -- tests); "xla" disables them.
+    # pure-XLA lax.scan path otherwise (f64, module costs, unrolled
+    # autodiff). Concrete bounds bake into the kernel as constants;
+    # traced or per-time/per-example bounds ride in as lane inputs.
+    # "pallas" forces the kernels (interpret-mode off TPU -- tests);
+    # "xla" disables them.
     # "stream" additionally enables the EXPERIMENTAL time-blocked streaming
     # kernels for horizons past the megakernel's VMEM budget (see
     # ops/pallas/lqr_stream.py -- loses to the XLA scan on runtimes with
