@@ -241,3 +241,23 @@ def test_fused_gauss_jordan_nu(nu, boxed):
     )
     kw = dict(u_lower=-0.4, u_upper=0.4) if boxed else {}
     _compare(cfg, x_init, cost, dynx, None, **kw)
+
+
+def test_fused_per_example_bounds():
+    """Per-example [B,T,nu] box bounds cannot bake as compile-time
+    constants; they ride as two [T,nu] lane inputs (lb_ref/ub_ref) --
+    the dynamic-bounds kernel path, vs the XLA path."""
+    B, T = 4, 6
+    cfg, x_init, dyn, params, q, p = _pendulum_problem(B, T)
+    rng = np.random.RandomState(13)
+    lb = jnp.asarray(-(1.0 + rng.rand(B, T, 1)).astype(np.float32))
+    ub = jnp.asarray((1.0 + rng.rand(B, T, 1)).astype(np.float32))
+    r_x, r_p = _compare(
+        cfg, x_init, QuadCost(jnp.diag(q), p), dyn, params,
+        u_lower=lb, u_upper=ub,
+    )
+    # the per-example bounds really constrain the kernel's solution
+    u = np.asarray(r_p.u)
+    assert (u <= np.asarray(ub) + 1e-6).all()
+    assert (u >= np.asarray(lb) - 1e-6).all()
+    assert np.abs(u).max() > 1.0  # some example uses its wider box
