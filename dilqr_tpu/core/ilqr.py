@@ -137,6 +137,7 @@ def ilqr_loop(
     delta_u=None,
     cost_small=None,
     u_init_zero: bool = False,
+    cost_struct=None,
 ) -> ILQRInternal:
     """Run up to cfg.lqr_iter iterations with best-tracking and the
     reference's stopping rule. u_init: [T, B, nu] (already broadcast).
@@ -144,19 +145,34 @@ def ilqr_loop(
     cost_small: the user's pre-broadcast QuadCost arrays ([n,n]/[T,n,n]),
     if example-invariant -- lets the fused kernel skip the [T,B,n,n]
     lanes transpose. u_init_zero: the warm start is known to be zeros.
+    cost_struct: for callable costs, the structured (cost_fn, cost_params)
+    pair -- lets the fused kernel quadraticize the cost in-kernel when
+    the fn is lane-compatible and the params are a flat array (or empty).
     """
     T, B = cfg.T, x_init.shape[0]
     dtype = x_init.dtype
 
     use_fused = False
     if cfg.backend != "xla":
-        from ..ops.pallas.ilqr_fused import (fused_supported, ilqr_fused,
+        from ..ops.pallas.ilqr_fused import (cost_lane_compatible,
+                                             fused_supported, ilqr_fused,
                                              lane_compatible)
+
+        quad = isinstance(cost, QuadCost)
+        cost_callable = None
+        if not quad and cost_struct is not None:
+            cfn, cin = cost_struct
+            empty = isinstance(cin, (tuple, list)) and len(cin) == 0
+            flat = empty or getattr(cin, "ndim", None) == 1
+            n_cp = 0 if empty else (int(cin.shape[0]) if flat else 0)
+            if flat and cost_lane_compatible(cfn, cfg.n_tau, n_cp):
+                cost_callable = (cfn, None if empty else cin)
 
         use_fused = fused_supported(
             cfg, cost, dyn, params, u_zero_I, delta_u, dtype,
             cost_small=cost_small, u_init_zero=u_init_zero,
             u_lower=u_lower, u_upper=u_upper,
+            callable_cost=cost_callable is not None,
         ) and (
             isinstance(dyn, LinDx)  # F/f ride in as data; nothing to probe
             or lane_compatible(dyn, params, cfg.n_state, cfg.n_ctrl)
@@ -169,14 +185,15 @@ def ilqr_loop(
                     dyn,
                     params,
                     x_init,
-                    cost.C,
-                    cost.c,
+                    cost.C if quad else None,
+                    cost.c if quad else None,
                     None if u_init_zero else u_init,
                     u_lower=u_lower,
                     u_upper=u_upper,
                     u_zero_I=u_zero_I,
                     delta_u=delta_u,
-                    cost_small=cost_small,
+                    cost_small=cost_small if quad else None,
+                    cost_callable=cost_callable,
                     interpret=interpret,
                 )
             )

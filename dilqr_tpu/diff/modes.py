@@ -134,6 +134,9 @@ def solve_with_grad(
             delta_u=delta_u,
             cost_small=cost_small,
             u_init_zero=u_init_zero,
+            # structured callable cost for the fused kernel's in-kernel
+            # quadraticization (the closure above serves the XLA path)
+            cost_struct=None if quad else (cost_fn, cost_in),
         )
         return (out.x, out.u, out.costs, out.full_du_norm, out.n_iter)
 

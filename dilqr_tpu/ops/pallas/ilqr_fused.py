@@ -142,9 +142,33 @@ def _static_scalar(v):
     return float(a) if a.ndim == 0 else None
 
 
+def cost_lane_compatible(cost_fn, n: int, n_cp: int) -> bool:
+    """Probe whether a callable cost traces on [n, 8, 128] lane stacks
+    with list-of-scalar params, returning a per-lane [8, 128] value, and
+    captures no array constants (the same authoring contract as env
+    steps: index arithmetic / axis-0 ops)."""
+    try:
+        st = jax.ShapeDtypeStruct((n, 8, 128), jnp.float32)
+        sp = [jax.ShapeDtypeStruct((), jnp.float32)] * n_cp
+        closed = jax.make_jaxpr(
+            lambda tau, *p: cost_fn(tau, list(p))
+        )(st, *sp)
+        if closed.out_avals[0].shape != (8, 128):
+            return False
+        for const in closed.consts:
+            if getattr(const, "ndim", 0) > 0 and getattr(
+                const, "size", 1
+            ) > 1:
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
                     dtype, cost_small=None, u_init_zero: bool = False,
-                    u_lower=None, u_upper=None) -> bool:
+                    u_lower=None, u_upper=None,
+                    callable_cost: bool = False) -> bool:
     lin = isinstance(dyn, LinDx)
     if lin:
         # time-varying affine (LQR) problems: F/f ride in as lane inputs;
@@ -159,7 +183,9 @@ def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
         )
     extras = dict(
         lin_dx=lin,
-        lanes_cost=cost_small is None,  # per-example cost -> lane inputs
+        # per-example QuadCost -> lane inputs; callable costs ride as
+        # SMEM scalars and are quadraticized in-kernel
+        lanes_cost=cost_small is None and not callable_cost,
         uz=u_zero_I is not None,
         warm=not u_init_zero,
         # concrete bounds bake in as compile-time constants; traced or
@@ -167,7 +193,7 @@ def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
         dyn_bounds=_static_bounds(u_lower, u_upper, cfg.n_ctrl) is None,
     )
     return (
-        isinstance(cost, QuadCost)
+        (isinstance(cost, QuadCost) or callable_cost)
         and dyn_ok
         and 1 <= cfg.n_ctrl <= MAX_NU
         and (delta_u is None or _static_scalar(delta_u) is not None)
@@ -421,7 +447,7 @@ def _ilqr_kernel(
     T, nx, nu, n_params, lqr_iter, pnqp_iter, eps, ls_decay, max_ls_iter,
     best_cost_eps, not_improved_lim, step_fn, lin_fn, cost_mode, u0_zero,
     bounds_static, stream_k, uz_present, delta_u_static, unbounded,
-    lin_dx, f_present,
+    lin_dx, f_present, cost_fn, n_cost_params,
     *refs,
 ):
     """cost_mode: "lanes" (C_ref/c_ref per-example lane tensors) or "smem"
@@ -444,6 +470,8 @@ def _ilqr_kernel(
     if cost_mode == "lanes":
         C_ref = next(it_r)
         c_ref = next(it_r)
+    elif cost_mode == "callable":
+        cp_ref = next(it_r)  # cost params, SMEM (1, max(n_cost_params, 1))
     else:
         Cs_ref = next(it_r)
         cs_ref = next(it_r)
@@ -540,6 +568,38 @@ def _ilqr_kernel(
     if cost_mode == "lanes":
         Cmat = lambda t: C_ref[t]                     # [n,n,8,128]
         cvec = lambda t: c_ref[t]                     # [n,8,128]
+    elif cost_mode == "callable":
+        # user cost_fn(tau, params) -> per-lane scalar, authored with
+        # index arithmetic / axis-0 ops so it traces on [n, 8, 128] lane
+        # stacks just like the env steps. The true cost backs the
+        # rollout/line-search objectives directly; the Riccati stage
+        # quadraticizes it in-kernel (see quad_at).
+        cps = [cp_ref[0, i] for i in range(n_cost_params)]
+        Cmat = cvec = None
+
+        def cost_eval(tau):
+            return cost_fn(tau, cps)
+
+        def basis_n(hot):
+            return jnp.stack([
+                jnp.full((8, 128), 1.0 if a == hot else 0.0, f32)
+                for a in range(n)
+            ])
+
+        def quad_at(tau):
+            """(H, g) of the cost at tau: forward-over-forward one-hot
+            probes (n jvp's for g, n more of the gradient map for H --
+            reference approximate_cost semantics, mpc.py:447-487; in
+            delta space C tau + c collapses to g, so the Riccati only
+            needs (H, g))."""
+
+            def gradf(tv):
+                _, jvp1 = jax.linearize(cost_eval, tv)
+                return jnp.stack([jvp1(basis_n(i)) for i in range(n)])
+
+            g, jvp2 = jax.linearize(gradf, tau)
+            H = jnp.stack([jvp2(basis_n(j)) for j in range(n)], axis=1)
+            return H, g
     else:
         per_t = Cs_ref.shape[0] > 1
         diag = cost_mode == "diag"
@@ -621,6 +681,8 @@ def _ilqr_kernel(
 
     def obj_t(t, xt, ut):
         tau = jnp.concatenate([xt, ut], axis=0)    # [n,8,128]
+        if cost_mode == "callable":
+            return cost_eval(tau)  # the TRUE cost (lqr_step.py:230-239)
         Ct = Cmat(t)
         return 0.5 * (tau * _mv(Ct, tau)).sum(0) + (cvec(t) * tau).sum(0)
 
@@ -686,8 +748,13 @@ def _ilqr_kernel(
                 else:
                     F = jnp.where(t < T - 1, lin_at(xt, ut), 0.0)
                 tau = jnp.concatenate([xt, ut], axis=0)
-                Ct = Cmat(t)
-                cb = _mv(Ct, tau) + cvec(t)
+                if cost_mode == "callable":
+                    # per-iteration quadraticization (mpc.py:447-487);
+                    # delta-space C tau + c = the gradient g
+                    Ct, cb = quad_at(tau)
+                else:
+                    Ct = Cmat(t)
+                    cb = _mv(Ct, tau) + cvec(t)
 
                 tmp = _mm(jnp.swapaxes(V, 0, 1), F)       # V^T F = V F
                 FT = jnp.swapaxes(F, 0, 1)                # [n,nx,8,128]
@@ -894,6 +961,8 @@ def ilqr_fused(
     u_zero_I: Optional[jax.Array] = None,  # [T, B, nu] bool: force u_i = 0
     delta_u=None,        # concrete scalar trust region (lqr_step.py:200-213)
     cost_small=None,     # optional pre-broadcast (C, c): [n,n]/[T,n,n] etc.
+    cost_callable=None,  # (cost_fn, flat_params | ()) -> in-kernel
+    #                      quadraticized module cost; C/c may be None
     interpret: bool = False,
     force_stream_k: Optional[bool] = None,  # tests only; None = auto
 ):
@@ -917,7 +986,20 @@ def ilqr_fused(
 
     # --- cost: SMEM scalars when example-invariant, lanes otherwise ---
     cost_mode = "lanes"
-    if cost_small is not None:
+    ccall_fn = None
+    n_cp = 0
+    if cost_callable is not None:
+        cost_mode = "callable"
+        ccall_fn, cp = cost_callable
+        empty = cp is None or (isinstance(cp, tuple) and len(cp) == 0)
+        if empty:
+            cp_arr = jnp.zeros((1, 1), f32)
+        else:
+            cp_arr = jnp.asarray(cp, f32).reshape(1, -1)
+            n_cp = cp_arr.shape[1]
+        cost_in = [cp_arr]
+        cost_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    elif cost_small is not None:
         Cs, cs = cost_small
         Cs = jnp.asarray(Cs, f32)
         cs = jnp.asarray(cs, f32)
@@ -953,7 +1035,7 @@ def ilqr_fused(
         c_p = pad_batch(c.astype(f32), B, Bp)
         cost_in = [to_lanes(C_p, T, Bp), to_lanes(c_p, T, Bp)]
         cost_specs = [bspec(T, (n, n)), bspec(T, (n,))]
-    else:
+    elif cost_mode != "callable":
         cost_in = [Cs_in, cs_in]
         cost_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1015,6 +1097,7 @@ def ilqr_fused(
         uz_specs, u0_zero, bounds_static, uz_present, delta_u_static,
         unbounded, interpret, force_stream_k,
         lin_specs=lin_specs, lin_dx=lin_dx, f_present=f_present,
+        cost_fn=ccall_fn, n_cost_params=n_cp,
     )(params.reshape(1, n_params), xi_l, *cost_in, *lin_in, *u_in,
       *bound_in, *uz_in)
 
@@ -1030,7 +1113,8 @@ def ilqr_fused(
 def _pallas_solve(cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs,
                   bound_specs, uz_specs, u0_zero, bounds_static, uz_present,
                   delta_u_static, unbounded, interpret, force_stream_k,
-                  lin_specs=(), lin_dx=False, f_present=False):
+                  lin_specs=(), lin_dx=False, f_present=False,
+                  cost_fn=None, n_cost_params=0):
     """Build the configured whole-solve pallas_call. Returns a callable
     (params [1,P], xi_lanes [nx,G,8,128], *cost_in, *lin_in, *u_in,
     *bound_in, *uz_in) -> (bx, bu, bc, bdu, iters[, K_hbm]) in LANE
@@ -1055,6 +1139,7 @@ def _pallas_solve(cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs,
         cfg.best_cost_eps, cfg.not_improved_lim, step_fn,
         lin_fn, cost_mode, u0_zero, bounds_static, stream_k,
         uz_present, delta_u_static, unbounded, lin_dx, f_present,
+        cost_fn, n_cost_params,
     )
 
     out_specs = [
@@ -1169,15 +1254,15 @@ def _squeeze_io(kernel, cost_mode, n_raw_out=0, n_scratch=12):
     outputs (the stream-K HBM buffer), and the n_scratch trailing scratch
     refs (u, x, K/staging, k, V, v, tx, tu, du2, cc, oc, flags [, wsem,
     rsem]) pass through untouched."""
-    n_smem_cost = 2 if cost_mode in ("smem", "diag") else 0
+    n_smem_cost = {"smem": 2, "diag": 2, "callable": 1}.get(cost_mode, 0)
 
     def wrapped(*refs):
         out = [refs[0]]  # params SMEM
         i = 1
         out.append(LaneView(refs[i])); i += 1  # x_init
         if n_smem_cost:
-            out.append(refs[i]); i += 1  # Cs SMEM
-            out.append(refs[i]); i += 1  # cs SMEM
+            for _ in range(n_smem_cost):  # Cs/cs (or cost params) SMEM
+                out.append(refs[i]); i += 1
         else:
             out.append(LaneView(refs[i])); i += 1  # C lanes
             out.append(LaneView(refs[i])); i += 1  # c lanes

@@ -261,3 +261,73 @@ def test_fused_per_example_bounds():
     assert (u <= np.asarray(ub) + 1e-6).all()
     assert (u >= np.asarray(lb) - 1e-6).all()
     assert np.abs(u).max() > 1.0  # some example uses its wider box
+
+
+@pytest.mark.parametrize("with_params", [True, False])
+def test_fused_callable_cost(with_params):
+    """In-kernel module (callable) costs (round 2, the last fused-coverage
+    row): the cost is authored like env steps (index arithmetic, so it
+    traces on [n,8,128] lane stacks), its params ride as SMEM scalars,
+    the TRUE cost backs the rollout/line-search objectives, and the
+    Riccati stage quadraticizes it in-kernel with one-hot jvp probes --
+    vs the XLA path's approximate_cost + lax.scan."""
+    dyn = pendulum.make()
+    params = jnp.asarray(pendulum.default_params(), F32)
+    rng = np.random.RandomState(7)
+    B, T = 4, 6
+    th = rng.uniform(-2, 2, B).astype(np.float32)
+    x_init = jnp.stack(
+        [jnp.cos(jnp.asarray(th)), jnp.sin(jnp.asarray(th)), jnp.zeros(B)], 1
+    ).astype(F32)
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=5, eps=0.0,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    if with_params:
+        cp = jnp.asarray(
+            np.concatenate(
+                [0.5 + rng.rand(4), 0.3 * rng.randn(4)]
+            ).astype(np.float32))
+
+        def cost_fn(tau, p):
+            acc = None
+            for i in range(4):
+                d = tau[i] - p[4 + i]
+                term = 0.5 * p[i] * d * d
+                acc = term if acc is None else acc + term
+            return acc + 0.01 * tau[3] ** 4
+
+        cost = (cost_fn, cp)
+    else:
+        # parameterless callable (python-float constants only)
+        def cost(tau):
+            return (0.5 * (tau[0] - 1.0) ** 2 + 0.5 * tau[1] ** 2
+                    + 0.05 * tau[2] ** 2 + 1e-3 * tau[3] ** 2
+                    + 0.01 * tau[3] ** 4)
+
+    r_x, r_p = _compare(cfg, x_init, cost, dyn, params,
+                        u_lower=-2.0, u_upper=2.0)
+    # the kernel path really ran (an XLA-vs-XLA comparison would be 0.0)
+    assert np.abs(np.asarray(r_p.u) - np.asarray(r_x.u)).max() > 0.0
+
+
+def test_fused_callable_cost_array_capture_falls_back():
+    """A callable cost closing over array constants cannot trace into the
+    kernel (same contract as env steps); dispatch must fall back to the
+    XLA path, not error."""
+    w = jnp.asarray(np.array([1.0, 1.0, 0.1, 1e-3], np.float32))
+
+    def cost(tau):
+        return 0.5 * jnp.sum(w * tau * tau, axis=0)
+
+    dyn = pendulum.make()
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=4, lqr_iter=2, eps=1e-4,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    r = solve(cfg, jnp.ones((2, 3), F32), cost, dyn,
+              params=jnp.asarray(pendulum.default_params(), F32),
+              u_lower=-2.0, u_upper=2.0)
+    assert np.isfinite(np.asarray(r.costs)).all()
