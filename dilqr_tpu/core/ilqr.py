@@ -202,34 +202,6 @@ def ilqr_loop(
             # forced: compiled on TPU, interpreter elsewhere (tests)
             return fused_call(interpret=jax.default_backend() != "tpu")
 
-        if not use_fused and cfg.backend == "stream":
-            # EXPERIMENTAL: horizons past the megakernel's VMEM budget can
-            # stream per-timestep arrays through HBM (ops/pallas/lqr_stream,
-            # grid over (batch-tile, time) with the carry in scratch). On
-            # this container's runtime each kernel launch costs ~1 ms and
-            # the design needs ~6 launches per iLQR iteration, so it LOSES
-            # to the XLA scan (measured 263 ms vs ~130 ms, rocket T=40
-            # B=1024); opt-in only, for runtimes with cheap launches.
-            from ..ops.pallas.lqr_stream import ilqr_stream, stream_supported
-
-            if stream_supported(
-                cfg, cost, dyn, params, u_zero_I, delta_u, dtype,
-                cost_small, u_lower, u_upper,
-            ):
-                return ILQRInternal(
-                    *ilqr_stream(
-                        cfg,
-                        dyn,
-                        params,
-                        x_init,
-                        cost_small,
-                        None if u_init_zero else u_init,
-                        u_lower=u_lower,
-                        u_upper=u_upper,
-                        interpret=jax.default_backend() != "tpu",
-                    )
-                )
-
     dyn_roll = dyn if isinstance(dyn, LinDx) else (dyn.step, params)
 
     def iteration(u):

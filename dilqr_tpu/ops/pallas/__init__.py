@@ -14,19 +14,20 @@ Three kernel families, coarsest (and fastest) first:
  * riccati_fused.py -- the backward Riccati recursion alone (used by the
                       KKT/IFT backward's auxiliary solves, including the
                       u_zero_I frozen-active-set mode).
- * lqr_stream.py   -- EXPERIMENTAL time-blocked variants for horizons past
-                      the megakernel's VMEM budget (backend="stream").
+
+(A third family -- multi-launch time-blocked streaming kernels,
+ops/pallas/lqr_stream.py in the git history -- was removed in round 3:
+its motivating case, horizons past the VMEM budget, is served by the
+megakernel's stream-K HBM staging, and it measured 2x SLOWER than the
+XLA scan on this runtime's ~1 ms-per-launch floor.)
 """
 from .ilqr_fused import fused_supported, ilqr_fused, lane_compatible
-from .lqr_stream import ilqr_stream, stream_supported
 from .riccati_fused import lqr_backward_pallas, pallas_supported
 
 __all__ = [
     "fused_supported",
     "ilqr_fused",
-    "ilqr_stream",
     "lane_compatible",
     "lqr_backward_pallas",
     "pallas_supported",
-    "stream_supported",
 ]

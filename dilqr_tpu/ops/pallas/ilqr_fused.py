@@ -60,8 +60,6 @@ from .layout import (BT, LaneView, bspec, expand_bound, from_lanes,
 
 MAX_NU = 8  # nu <= 3 uses closed-form inverses, 4..8 unrolled Gauss-Jordan
 
-_DEBUG_TRUNCATE = None  # perf instrumentation: "unpack" | "init" | "rollout"
-
 # pnqp constants (reference pnqp.py:8,33-37)
 PNQP_REG = 1e-11
 PNQP_GAMMA = 0.1
@@ -646,10 +644,6 @@ def _ilqr_kernel(
         lb_at = lambda t: lb_const
         ub_at = lambda t: ub_const
 
-    if _DEBUG_TRUNCATE == "unpack":
-        it_ref[...] = jnp.zeros((8, 128), f32)
-        return
-
     if u0_zero:
         u_ref[...] = jnp.zeros(u_ref.shape, f32)
     else:
@@ -661,10 +655,6 @@ def _ilqr_kernel(
     flags_ref[0] = 0
     flags_ref[1] = 0
     flags_ref[2] = 0
-
-    if _DEBUG_TRUNCATE == "init":
-        it_ref[...] = jnp.zeros((8, 128), f32)
-        return
 
     if lin_dx:
 
@@ -697,10 +687,6 @@ def _ilqr_kernel(
 
     _, oc0 = lax.fori_loop(0, T, roll, (x_init, jnp.zeros((8, 128), f32)))
     oc_ref[...] = oc0
-
-    if _DEBUG_TRUNCATE == "rollout":
-        it_ref[...] = jnp.zeros((8, 128), f32)
-        return
 
     def outer_body(it, _):
         @pl.when(flags_ref[0] == 0)
@@ -1228,7 +1214,7 @@ def ilqr_fused_lanes(
     container's tunneled runtime the measured end-to-end difference vs the
     standard path is small (a ~0.7-1.0 ms per-call floor attaches to the
     solve kernel itself regardless of surrounding ops -- probed with
-    truncated kernel bodies, see _DEBUG_TRUNCATE); on runtimes without
+    truncated kernel bodies, docs/ROADMAP.md "per-call floor"); on runtimes without
     that floor the saved transposes are the remaining per-call overhead.
     Bounds must be compile-time constants (they bake into the kernel).
     Pass every operand as a jit argument -- captured constants cost ~1 ms

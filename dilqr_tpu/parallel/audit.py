@@ -12,8 +12,11 @@ from __future__ import annotations
 import re
 from typing import List, Tuple
 
+# the defined value's type is either one token (f32[8]{0}) or, for async
+# -start ops, a parenthesized tuple with spaces ((f32[8], f32[8])) -- match
+# both so a module whose only large shapes sit on the -start line still trips
 _COLL_DEF = re.compile(
-    r"=\s*\S+\s+"
+    r"=\s*(?:\([^)]*\)|\S+)\s+"
     r"(?:all-reduce|all-gather|reduce-scatter|collective-permute"
     r"|all-to-all)(?:-start|-done)?\("
 )

@@ -61,7 +61,25 @@ def _struct_key(v, keep):
             for c in (v.__closure__ or ())
         )
         defaults = tuple(_struct_key(d, keep) for d in (v.__defaults__ or ()))
-        return ("fn", v.__code__, cells, defaults)
+        # globals the code object actually references are part of the
+        # function's behavior too (a module-level constant the user mutates
+        # between calls must not structurally collide with the stale key).
+        # Referenced functions key by code object only -- no recursion into
+        # their own globals, which keeps mutually-recursive helpers finite
+        # at the cost of missing second-order global mutations.
+        gkeys = []
+        for name in v.__code__.co_names:
+            if name in v.__globals__:
+                g = v.__globals__[name]
+                if isinstance(g, pytypes.ModuleType):
+                    gkeys.append((name, "mod", g.__name__))
+                elif isinstance(g, pytypes.FunctionType):
+                    gkeys.append((name, "fn", g.__code__))
+                elif isinstance(g, type):
+                    gkeys.append((name, "type", g))
+                else:
+                    gkeys.append((name, _struct_key(g, keep)))
+        return ("fn", v.__code__, cells, defaults, tuple(gkeys))
     if isinstance(v, (tuple, list)):
         return (type(v).__name__,) + tuple(_struct_key(x, keep) for x in v)
     if isinstance(v, dict):

@@ -100,6 +100,13 @@ class ILQRConfig:
     back_eps: float = 1e-7
     linesearch_decay: float = 0.2
     max_linesearch_iter: int = 10
+    # reference mpc.py:323-324 hard-asserts on non-convergence; a jitted
+    # program cannot abort on traced values, so this flag emits a host-side
+    # warning via jax.debug.callback -- which is UNAVAILABLE on runtimes
+    # without host callbacks (e.g. the axon TPU plugin), where the flag is
+    # a no-op. Callers that need the reference's hard stop must check the
+    # always-populated SolveResult.converged, e.g.
+    # ``assert jax.device_get(res.converged).all()`` outside jit.
     exit_unconverged: bool = False
     detach_unconverged: bool = True
     backprop: bool = True
@@ -131,10 +138,6 @@ class ILQRConfig:
     # traced or per-time/per-example bounds ride in as lane inputs.
     # "pallas" forces the kernels (interpret-mode off TPU -- tests);
     # "xla" disables them.
-    # "stream" additionally enables the EXPERIMENTAL time-blocked streaming
-    # kernels for horizons past the megakernel's VMEM budget (see
-    # ops/pallas/lqr_stream.py -- loses to the XLA scan on runtimes with
-    # ~1 ms kernel-launch overhead, like this container's tunneled TPU).
     backend: str = "auto"
     # Use a differentiable fixed-trip-count outer loop (lax.scan with masks)
     # instead of lax.while_loop. Required for BackwardMode.UNROLL; the

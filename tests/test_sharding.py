@@ -120,3 +120,47 @@ def test_entry_compiles():
     jax.block_until_ready(out)
     u, costs = out
     assert np.isfinite(np.asarray(u)).all()
+
+
+def test_audit_matches_tuple_shape_async_start():
+    """Async collective -start ops have tuple-typed results whose shapes
+    contain spaces; the definition anchor must still match them (ADVICE r2:
+    a module whose only large shapes sit on the -start line must trip)."""
+    from dilqr_tpu.parallel.audit import audit_collectives
+
+    hlo = "\n".join([
+        "  %ag = (f32[8,512]{1,0}, f32[64,512]{1,0}) "
+        "all-gather-start(f32[8,512]{1,0} %p0), dimensions={0}",
+        # consumer lines referencing a collective result must NOT count
+        "  %u = f32[64,512]{1,0} fusion(f32[64,512]{1,0} %all-gather.2)",
+        # a legit scalar reduction stays unflagged
+        "  %ar = f32[16]{0} all-reduce(f32[16]{0} %loss)",
+    ])
+    colls, big = audit_collectives(hlo, batch=16)
+    assert len(colls) == 2, colls  # the -start def + the scalar reduce
+    assert len(big) == 1 and "all-gather-start" in big[0], big
+
+
+def test_struct_key_sees_referenced_globals():
+    """A cost/dynamics callable that reads a module-level variable the user
+    mutates between calls must produce a DIFFERENT structural key (ADVICE
+    r2: the old key omitted globals and silently reused stale executables)."""
+    from dilqr_tpu.parallel.mesh import _struct_key
+
+    ns = {"SCALE": 2.0}
+    exec("def f(x):\n    return SCALE * x\n", ns)
+    f = ns["f"]
+    k1 = _struct_key(f, [])
+    ns["SCALE"] = 3.0
+    k2 = _struct_key(f, [])
+    assert k1 != k2
+
+    # fresh-but-identical functions (same code, same globals) still collide
+    ns2 = {"SCALE": 3.0}
+    exec("def f(x):\n    return SCALE * x\n", ns2)
+    assert _struct_key(ns2["f"], []) == k2
+
+    # mutually-recursive module functions terminate
+    ns3 = {}
+    exec("def a(x):\n    return b(x)\n\ndef b(x):\n    return a(x)\n", ns3)
+    _struct_key(ns3["a"], [])
