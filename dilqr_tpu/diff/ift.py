@@ -29,7 +29,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.gmres import gmres
+from ..ops.gmres import gmres_batched
 
 
 def solve_adjoint_fixed_point(
@@ -46,11 +46,17 @@ def solve_adjoint_fixed_point(
     lT_xu((dF, df)) -> (dX, dU): VJP of the linearization w.r.t. the
     trajectory. v: loss cotangents (g_x, g_u), each [T, B, ...].
 
-    Returns ``(w, res_norm, b_norm)``: the caller inspects
-    ``res_norm > tol * b_norm`` to warn / fall back to the dense probing
-    solve when the fixed-point map is not contracting enough (e.g. a
-    barely-converged forward solve; the reference's analogue of its unused
-    1e-5 ridge, lqr_step_explicit.py:559-570).
+    The operator is block-diagonal across the batch (examples are
+    independent), so the Krylov solve runs PER EXAMPLE (gmres_batched):
+    each example converges against its own cotangent's norm, and the
+    returned residuals are per-example. Returns ``(w, res_b, b_norm_b)``
+    with res_b/b_norm_b of shape [B]; the caller inspects
+    ``res_b > tol * b_norm_b`` to warn / fall back to the dense probing
+    solve for batches whose fixed-point map is not contracting enough
+    (e.g. a barely-converged forward solve; the reference's analogue of
+    its unused 1e-5 ridge, lqr_step_explicit.py:559-570 -- and its dense
+    per-example solves at :544-587 are per-example exact, the parity bar
+    this per-example accounting restores).
     """
 
     def A(w):
@@ -58,9 +64,9 @@ def solve_adjoint_fixed_point(
         dX, dU = lT_xu(dF, df)
         return (w[0] - dX, w[1] - dU)
 
-    return gmres(
+    return gmres_batched(
         A, v, x0=v, tol=tol, restart=restart, maxiter=maxiter,
-        return_info=True,
+        batch_axis=1,
     )
 
 

@@ -241,7 +241,7 @@ def solve_with_grad(
             if cfg.ift_solver == "dense":
                 w = solve_adjoint_dense(sT_Ff, lT_xu, (g_x, g_u))
             else:
-                w, res, b_norm = solve_adjoint_fixed_point(
+                w, res_b, b_norm_b = solve_adjoint_fixed_point(
                     sT_Ff,
                     lT_xu,
                     (g_x, g_u),
@@ -249,18 +249,30 @@ def solve_with_grad(
                     restart=cfg.ift_restart,
                     maxiter=cfg.ift_maxiter,
                 )
-                bad = res > cfg.ift_tol * (b_norm + 1e-30)
+                # per-example accounting: the adjoint operator is block-
+                # diagonal across examples and the Krylov solve runs per
+                # example, so one ill-conditioned example in an otherwise
+                # easy batch is detected (and repaired) individually
+                bad_b = res_b > cfg.ift_tol * (b_norm_b + 1e-30)
+                bad = jnp.any(bad_b)
 
-                def _warn(bad_, res_, b_):
-                    if bool(bad_):
+                def _warn(bad_b_, res_b_, b_b_):
+                    import numpy as np
+
+                    n_bad = int(np.sum(bad_b_))
+                    if n_bad:
                         import warnings
 
+                        i = int(np.argmax(res_b_ / (b_b_ + 1e-30)))
                         warnings.warn(
-                            "IFT GMRES adjoint did not converge "
-                            f"(residual {float(res_):.3e} vs tol "
-                            f"{cfg.ift_tol:.1e} * ||b||={float(b_):.3e})"
+                            "IFT GMRES adjoint did not converge for "
+                            f"{n_bad}/{len(bad_b_)} examples (worst: "
+                            f"example {i}, residual {float(res_b_[i]):.3e} "
+                            f"vs tol {cfg.ift_tol:.1e} * "
+                            f"||b||={float(b_b_[i]):.3e})"
                             + (
                                 "; falling back to the dense probing solve"
+                                " for those examples"
                                 if cfg.ift_fallback
                                 else "; gradients may be inaccurate -- set "
                                 "ift_solver='dense' or raise ift_maxiter"
@@ -270,7 +282,7 @@ def solve_with_grad(
                 from ..utils.callbacks import supports_host_callback
 
                 if supports_host_callback():
-                    jax.debug.callback(_warn, bad, res, b_norm)
+                    jax.debug.callback(_warn, bad_b, res_b, b_norm_b)
                 # lax.cond compiles BOTH branches, and the dense probe's
                 # batched jnp.linalg.solve on [B, D, D] has no f64 LU on
                 # TPU (the Mosaic gotcha riccati.py also guards) -- so
@@ -284,15 +296,18 @@ def solve_with_grad(
                 if fb_ok:
                     # a weakly-contracting fixed point (under-converged
                     # forward solve) defeats GMRES(m); the dense probe is
-                    # exact. lax.cond executes only the taken branch.
-                    w = jax.lax.cond(
-                        bad,
-                        lambda _: solve_adjoint_dense(
-                            sT_Ff, lT_xu, (g_x, g_u)
-                        ),
-                        lambda w_: w_,
-                        w,
-                    )
+                    # exact. lax.cond executes only the taken branch, and
+                    # the merge keeps the converged examples' Krylov
+                    # solutions -- only the failing examples are repaired.
+                    def _dense_repair(w_):
+                        wd = solve_adjoint_dense(sT_Ff, lT_xu, (g_x, g_u))
+                        m = bad_b[None, :, None]
+                        return (
+                            jnp.where(m, wd[0], w_[0]),
+                            jnp.where(m, wd[1], w_[1]),
+                        )
+
+                    w = jax.lax.cond(bad, _dense_repair, lambda w_: w_, w)
             kg = sT(w)
         else:
             kg = sT((g_x, g_u))
