@@ -38,8 +38,12 @@ the only deviation is that the stopping rule's reductions (`max(du) < eps`,
 instead of over the global batch. Extra line-search trials are idempotent
 (unchanged alpha reproduces the same trial), and extra outer iterations can
 only improve the best-tracked result, so results match the global-batch
-rule whenever both run the same iterations (e.g. eps=0) and are otherwise
-equal-or-better per example.
+rule whenever both run the same iterations (e.g. eps=0); when tiles stop
+early they stop *converged*, so accepted costs still match to f32 noise.
+Test-backed: tests/test_fused_mixed_convergence.py engineers two tiles
+converging 8 outer iterations apart at eps>0 and asserts per-example cost
+parity (<=1e-4 abs) and u-parity on the iteration-matched tile vs the
+global-rule XLA path.
 """
 from __future__ import annotations
 
