@@ -89,8 +89,18 @@ def distribute_batch(mesh: Mesh, tree, axis_name: str = "batch"):
     sum over processes); returns global jax.Arrays sharded P(axis_name)
     that jit consumes without resharding. The single-process case reduces
     to a device_put over the local mesh.
+
+    Processes may own DIFFERENT numbers of mesh devices (heterogeneous
+    hosts): each process's B_local must be divisible by its local device
+    count, and the global shape is derived from this process's share of
+    the mesh axis rather than assuming equal per-process shards. For
+    per-process batches that are NOT proportional to device counts
+    (dataset remainders), use :func:`distribute_batch_padded`.
     """
     sh = NamedSharding(mesh, P(axis_name))
+    pid = jax.process_index()
+    n_local = sum(1 for d in mesh.devices.flat if d.process_index == pid)
+    n_dev = mesh.devices.size
 
     def put(a):
         if a is None:
@@ -98,9 +108,89 @@ def distribute_batch(mesh: Mesh, tree, axis_name: str = "batch"):
         a = np.asarray(a)
         if jax.process_count() == 1:
             return jax.device_put(a, sh)
-        return jax.make_array_from_process_local_data(sh, a)
+        if n_local == 0 or a.shape[0] % n_local:
+            raise ValueError(
+                f"local batch {a.shape[0]} not divisible by this "
+                f"process's {n_local} mesh devices; for arbitrary uneven "
+                "per-process batches use distribute_batch_padded"
+            )
+        global_shape = (a.shape[0] // n_local * n_dev,) + a.shape[1:]
+        return jax.make_array_from_process_local_data(sh, a, global_shape)
 
     return jax.tree_util.tree_map(put, tree)
+
+
+def distribute_batch_padded(mesh: Mesh, tree, axis_name: str = "batch"):
+    """Assemble a global batch from ARBITRARY uneven per-process shards.
+
+    Each process passes [B_local_p, ...] leaves with any B_local_p >= 0
+    (the dataset-remainder case the strict :func:`distribute_batch`
+    rejects). The global batch B = sum_p B_local_p is zero-padded up to
+    the next multiple of the mesh size so the P(axis_name) sharding is
+    admissible, and every process receives identical global arrays plus a
+    validity mask.
+
+    Returns ``(tree_g, valid, B)``: batch-sharded leaves with leading dim
+    Bp >= B, a batch-sharded bool [Bp] mask (True for real examples), and
+    the true global count. Padding rows DUPLICATE the last real example
+    (not zeros): duplicates leave the solver's max-based batch-global
+    reductions (the stopping rule, reference mpc.py:299-301) unchanged,
+    so real examples solve bit-identically to the unpadded batch. Mask
+    padding rows out of any mean-based consumer (e.g. ``loss =
+    sum(where(valid, l, 0)) / B``).
+
+    Assembly is host-side (one padded per-process all-gather per leaf,
+    O(B_global) DCN) -- this is a data-loading step, not a training-step
+    collective; the audit still sees zero large in-step collectives.
+    Works with heterogeneous per-process device counts.
+    """
+    sh = NamedSharding(mesh, P(axis_name))
+    n_dev = mesh.devices.size
+    leaves = jax.tree_util.tree_leaves(tree)
+    b_local = int(np.asarray(leaves[0]).shape[0]) if leaves else 0
+    if jax.process_count() == 1:
+        counts = np.asarray([b_local])
+    else:
+        counts = _gather_per_process(
+            mesh, np.asarray([b_local], np.int32), axis_name
+        ).reshape(-1)
+    B = int(counts.sum())
+    Bp = -(-B // n_dev) * n_dev
+    mx = int(counts.max())
+
+    def put(a):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        if a.shape[0] != b_local:
+            raise ValueError(
+                f"inconsistent local batch dims: {a.shape[0]} vs {b_local}"
+            )
+        if jax.process_count() == 1:
+            full = a
+        else:
+            pad = np.zeros((mx - a.shape[0],) + a.shape[1:], a.dtype)
+            stacked = _gather_per_process(
+                mesh, np.concatenate([a, pad], axis=0), axis_name
+            )
+            full = np.concatenate(
+                [stacked[p, : counts[p]] for p in range(len(counts))], axis=0
+            )
+        if B > 0:
+            tail = np.repeat(full[-1:], Bp - B, axis=0)
+        else:
+            tail = np.zeros((Bp - B,) + full.shape[1:], full.dtype)
+        full = np.concatenate([full, tail], axis=0)
+        return jax.make_array_from_callback(
+            full.shape, sh, lambda idx: full[idx]
+        )
+
+    tree_g = jax.tree_util.tree_map(put, tree)
+    valid_np = np.arange(Bp) < B
+    valid = jax.make_array_from_callback(
+        (Bp,), sh, lambda idx: valid_np[idx]
+    )
+    return tree_g, valid, B
 
 
 def replicate(mesh: Mesh, tree):
@@ -123,13 +213,54 @@ def replicate(mesh: Mesh, tree):
 def gather(tree, tiled: bool = True):
     """Host-local numpy copy of a (possibly non-addressable) global array
     on every process -- for verification and logging only; O(B_global)
-    DCN traffic."""
+    DCN traffic.
+
+    NamedSharding-carrying arrays take a mesh-based path (replicate via a
+    jit identity, read the local copy) that also works when processes own
+    DIFFERENT numbers of mesh devices -- multihost_utils.process_allgather
+    assumes equal per-process device counts and raises there."""
     from jax.experimental import multihost_utils
 
-    return jax.tree_util.tree_map(
-        lambda a: np.asarray(multihost_utils.process_allgather(a, tiled=tiled)),
-        tree,
+    def g(a):
+        sh = getattr(a, "sharding", None)
+        if isinstance(sh, NamedSharding) and jax.process_count() > 1:
+            rep = jax.jit(
+                lambda x: x, out_shardings=NamedSharding(sh.mesh, P())
+            )(a)
+            return np.asarray(rep.addressable_data(0))
+        return np.asarray(
+            multihost_utils.process_allgather(a, tiled=tiled)
+        )
+
+    return jax.tree_util.tree_map(g, tree)
+
+
+def _gather_per_process(mesh: Mesh, a_local: np.ndarray,
+                        axis_name: str = "batch") -> np.ndarray:
+    """All-gather one identical-shape host array per process -> host
+    [n_processes, *shape] in process-index order, via the mesh itself
+    (each device carries its process's copy on the sharded axis, a jit
+    identity replicates, one row per process is kept). Unlike
+    multihost_utils.process_allgather this handles heterogeneous
+    per-process device counts."""
+    devs = list(mesh.devices.flat)
+    pid = jax.process_index()
+    n_local = sum(1 for d in devs if d.process_index == pid)
+    sh = NamedSharding(mesh, P(axis_name))
+    local = np.broadcast_to(
+        a_local[None], (n_local,) + a_local.shape
+    ).copy()
+    glob = jax.make_array_from_process_local_data(
+        sh, local, (len(devs),) + a_local.shape
     )
+    rep = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(glob)
+    host = np.asarray(rep.addressable_data(0))
+    procs = sorted({d.process_index for d in devs})
+    first = {
+        p: min(i for i, d in enumerate(devs) if d.process_index == p)
+        for p in procs
+    }
+    return np.stack([host[first[p]] for p in procs])
 
 
 def multihost_solve(

@@ -30,6 +30,12 @@ def main():
         help="force N virtual CPU devices per process (local test cluster)",
     )
     ap.add_argument("--batch-per-process", type=int, default=8)
+    ap.add_argument(
+        "--batches", default=None,
+        help="comma list of per-process batch sizes (uneven mode: "
+        "exercises distribute_batch_padded + the heterogeneous-device "
+        "strict path instead of the training step)",
+    )
     args = ap.parse_args()
 
     if args.cpu_devices:
@@ -71,6 +77,8 @@ def main():
     # --- problem: every process can build the FULL deterministic batch ---
     dyn, params0 = pendulum.make(), pendulum.default_params()
     q, p = pendulum.get_true_obj()
+    if args.batches is not None:
+        return uneven_mode(args, mesh, dyn, params0, q, p)
     Bl = args.batch_per_process
     Bg = Bl * nproc
     T = 8
@@ -165,6 +173,96 @@ def main():
         f"B_global={Bg} err_solve={err_solve:.2e} "
         f"err_params={err_params:.2e} loss={float(loss):.6f} "
         f"collectives={n_colls} (0 large-operand)",
+        flush=True,
+    )
+
+
+def uneven_mode(args, mesh, dyn, params0, q, p):
+    """Uneven per-process batches over a (possibly heterogeneous-device)
+    mesh: distribute_batch_padded parity on every REAL example, the
+    strict heterogeneous-share distribute_batch, and the collectives
+    audit on that topology."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import dilqr_tpu
+    from dilqr_tpu import BackwardMode, ILQRConfig, QuadCost
+    from dilqr_tpu.parallel import multihost as mh
+    from dilqr_tpu.parallel.audit import audit_collectives
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    n_dev = mesh.devices.size
+    counts = [int(s) for s in args.batches.split(",")]
+    assert len(counts) == nproc, (counts, nproc)
+    Bg, T = sum(counts), 8
+    starts = np.concatenate([[0], np.cumsum(counts)])
+
+    th = np.linspace(-1.2, 1.2, Bg)
+    x_full = np.stack(
+        [np.cos(th), np.sin(th), np.linspace(-0.5, 0.5, Bg)], axis=1
+    ).astype(np.float32)
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=6, eps=1e-4,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False,
+        backward_mode=BackwardMode.IFT,
+        backend="xla",
+    )
+    cost = QuadCost(jnp.diag(q), p)
+
+    def ref_u(xi):
+        return dilqr_tpu.solve(
+            cfg, xi, cost, dyn, params=params0,
+            u_lower=dyn.lower, u_upper=dyn.upper,
+        ).u
+
+    ref = np.asarray(jax.jit(ref_u)(jnp.asarray(x_full)))
+
+    cost_g = QuadCost(*mh.replicate(mesh, tuple(cost)))
+    params_g = mh.replicate(mesh, params0)
+    kwargs = dict(u_lower=dyn.lower, u_upper=dyn.upper)
+
+    # --- padded path: arbitrary uneven shards -------------------------
+    x_local = x_full[starts[pid] : starts[pid + 1]]
+    (xg,), valid, B = mh.distribute_batch_padded(mesh, (x_local,))
+    assert B == Bg and xg.shape[0] % n_dev == 0, (B, xg.shape)
+    res = mh._jit_solve(cfg, xg, cost_g, dyn, params_g, kwargs)
+    u_all = mh.gather(res.u)[:Bg]  # [Bp, T, nu] -> real examples
+    err_pad = float(np.abs(u_all - ref).max())
+    assert err_pad <= 1e-6, f"padded uneven solve mismatch: {err_pad:.2e}"
+    v = mh.gather(valid)
+    assert v[:Bg].all() and not v[Bg:].any(), v
+
+    # --- strict path: per-process share proportional to device count --
+    n_local = sum(
+        1 for d in mesh.devices.flat if d.process_index == pid
+    )
+    per_dev = 2
+    xs_full = x_full[: per_dev * n_dev]
+    # the stopping rule is batch-global, so the subset needs its own
+    # same-batch reference
+    ref2 = np.asarray(jax.jit(ref_u)(jnp.asarray(xs_full)))
+    dev_start = sum(
+        per_dev for d in mesh.devices.flat if d.process_index < pid
+    )
+    xs_local = xs_full[dev_start : dev_start + per_dev * n_local]
+    xg2 = mh.distribute_batch(mesh, xs_local)
+    res2 = mh._jit_solve(cfg, xg2, cost_g, dyn, params_g, kwargs)
+    err_strict = float(np.abs(mh.gather(res2.u) - ref2).max())
+    assert err_strict <= 1e-6, f"strict uneven solve: {err_strict:.2e}"
+
+    # --- collectives audit on this topology ---------------------------
+    hlo = jax.jit(ref_u).lower(xg).compile().as_text()
+    colls, big = audit_collectives(hlo, Bg)
+    assert not big, "per-example collective crossed hosts:\n" + "\n".join(big)
+
+    print(
+        f"MULTIHOST OK proc {pid}/{nproc} devices={n_dev} "
+        f"B_global={Bg} (uneven {counts}) err_pad={err_pad:.2e} "
+        f"err_strict={err_strict:.2e} collectives={len(colls)} "
+        f"(0 large-operand)",
         flush=True,
     )
 

@@ -21,13 +21,17 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_cpu_cluster():
+def _run_cluster(device_counts, extra_args=()):
+    """Spawn one multihost_demo.py process per entry of device_counts
+    (each with that many virtual CPU devices) against a fresh local
+    coordinator; assert every process prints MULTIHOST OK and exits 0."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = os.path.join(repo, "scripts", "multihost_demo.py")
     port = _free_port()
+    nproc = len(device_counts)
 
     env = dict(os.environ)
-    # each worker configures its own 2 virtual CPU devices; drop the
+    # each worker configures its own virtual CPU devices; drop the
     # parent suite's 8-device XLA_FLAGS and any stale distributed state
     env.pop("XLA_FLAGS", None)
     for k in list(env):
@@ -39,9 +43,10 @@ def test_two_process_cpu_cluster():
             [
                 sys.executable, script,
                 "--coordinator", f"localhost:{port}",
-                "--num-processes", "2",
+                "--num-processes", str(nproc),
                 "--process-id", str(i),
-                "--cpu-devices", "2",
+                "--cpu-devices", str(device_counts[i]),
+                *extra_args,
             ],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -49,7 +54,7 @@ def test_two_process_cpu_cluster():
             env=env,
             cwd=repo,
         )
-        for i in range(2)
+        for i in range(nproc)
     ]
     outs = []
     for p in procs:
@@ -64,3 +69,17 @@ def test_two_process_cpu_cluster():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
         assert "MULTIHOST OK" in out, f"process {i} no OK line:\n{out[-4000:]}"
+    return outs
+
+
+def test_two_process_cpu_cluster():
+    _run_cluster([2, 2])
+
+
+def test_four_process_uneven_cluster():
+    """4 processes with HETEROGENEOUS device counts (1+2+1+2 = 6 mesh
+    devices) and uneven per-process batches 3+5+2+3 = 13 examples:
+    exercises distribute_batch_padded (remainder padding + validity
+    mask), the strict heterogeneous-share distribute_batch, and the
+    collectives audit on that topology."""
+    _run_cluster([1, 2, 1, 2], ("--batches", "3,5,2,3"))
