@@ -75,7 +75,8 @@ PNQP_ARMIJO_ITER = 10
 def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False,
                 lin_dx: bool = False, lanes_cost: bool = False,
                 uz: bool = False, warm: bool = False,
-                dyn_bounds: bool = False) -> int:
+                dyn_bounds: bool = False, bt: int = BT,
+                full_stream: bool = False) -> int:
     """Approximate per-tile VMEM footprint (f32 lanes tiles): declared
     scratch (F_t/c_back recomputed at use site, trials cost-only, so only
     trajectory, gains, and trackers persist) plus the Riccati step's live
@@ -89,6 +90,15 @@ def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False,
     2nu+nx -- rocket T=40 fits with ~5 MB to spare."""
     T, nx, nu = cfg.T, cfg.n_state, cfg.n_ctrl
     n = nx + nu
+    if full_stream:
+        # O(1)-in-T residency: 2-slot staging for XU, TXU, B read, B
+        # write (n tiles each), Kk (nu*(nx+1)), u0 (nu) + V/v/trackers
+        scratch = (
+            2 * (3 * n + 2 * n + nu * (nx + 1) + nu)
+            + nx * nx + nx + 3
+        )
+        temps = 2 * (n * n + 2 * nx * n + nx * nx)
+        return (scratch + temps) * bt * 4
     if stream_k:
         per_t = 2 * nu + nx           # u, k, x (K staged, 2 slots)
         k_tiles = 2 * nu * nx
@@ -115,7 +125,7 @@ def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False,
         + 3                                 # du2, cc, old_cost
     )
     temps = 2 * (n * n + 2 * nx * n + nx * nx)
-    return (scratch + temps) * BT * 4
+    return (scratch + temps) * bt * 4
 
 
 VMEM_SCRATCH_LIMIT = 15 * 1024 * 1024  # of the 16 MB/core
@@ -123,15 +133,73 @@ VMEM_SCRATCH_LIMIT = 15 * 1024 * 1024  # of the 16 MB/core
 
 def use_stream_k(cfg: ILQRConfig, lin_dx: bool = False,
                  lanes_cost: bool = False, uz: bool = False,
-                 warm: bool = False, dyn_bounds: bool = False) -> bool:
+                 warm: bool = False, dyn_bounds: bool = False,
+                 bt: int = BT) -> bool:
     """Long horizons whose full K stack busts the VMEM budget stream K
     through HBM instead of falling back to the ~13x slower XLA scan."""
     extras = dict(lin_dx=lin_dx, lanes_cost=lanes_cost, uz=uz, warm=warm,
-                  dyn_bounds=dyn_bounds)
+                  dyn_bounds=dyn_bounds, bt=bt)
     return (
         _vmem_bytes(cfg, stream_k=False, **extras) > VMEM_SCRATCH_LIMIT
         and _vmem_bytes(cfg, stream_k=True, **extras) <= VMEM_SCRATCH_LIMIT
     )
+
+
+def _full_stream_ok(extras: dict) -> bool:
+    """Full streaming stages only the per-timestep SCRATCH arrays through
+    HBM (plus the u0 warm start, DMA'd straight from its input buffer);
+    whole-T lane INPUTS (per-example cost, LinDx F/f, u_zero_I, dynamic
+    bounds) would each need their own staging machinery -- those configs
+    keep the VMEM/stream-K modes or the XLA fallback."""
+    return not (extras["lin_dx"] or extras["lanes_cost"]
+                or extras["uz"] or extras["dyn_bounds"])
+
+
+def _mode_at_width(cfg: ILQRConfig, extras: dict, w: int) -> str:
+    """Streaming mode at a FIXED lane width (tests pin lanes_width)."""
+    if _vmem_bytes(cfg, stream_k=False, bt=BT * w,
+                   **extras) <= VMEM_SCRATCH_LIMIT:
+        return "none"
+    if _vmem_bytes(cfg, stream_k=True, bt=BT * w,
+                   **extras) <= VMEM_SCRATCH_LIMIT:
+        return "k"
+    if _full_stream_ok(extras) and _vmem_bytes(
+            cfg, full_stream=True, bt=BT * w, **extras
+    ) <= VMEM_SCRATCH_LIMIT:
+        return "full"
+    return "none"
+
+
+def _pick_lanes_width(cfg: ILQRConfig, extras: dict, n_base_tiles: int):
+    """Choose the lane-widening factor W and the streaming mode.
+
+    Every [8, 128*W] tile op is W independent vregs: the kernel's
+    dependency chains (Riccati small-matrix arithmetic on single vregs)
+    are latency-bound on the VPU, so interleaving W chains recovers the
+    issue slots a single chain stalls away. Prefer the largest W in
+    {8, 4, 2, 1} that (a) evenly divides the padded batch's base-tile
+    count (widening never adds padding), and (b) fits the VMEM budget
+    without streaming; fall back to the largest W that fits with
+    stream-K, then (for feature sets _full_stream_ok admits -- VMEM
+    residency O(1) in T, so any horizon) full streaming.
+    Returns (W, mode) with mode in {"none", "k", "full"}."""
+    for mode, fits in (
+        ("none", lambda w: _vmem_bytes(
+            cfg, stream_k=False, bt=BT * w, **extras
+        ) <= VMEM_SCRATCH_LIMIT),
+        ("k", lambda w: _vmem_bytes(
+            cfg, stream_k=True, bt=BT * w, **extras
+        ) <= VMEM_SCRATCH_LIMIT),
+        ("full", lambda w: _full_stream_ok(extras) and _vmem_bytes(
+            cfg, full_stream=True, bt=BT * w, **extras
+        ) <= VMEM_SCRATCH_LIMIT),
+    ):
+        for w in (8, 4, 2, 1):
+            if n_base_tiles % w:
+                continue
+            if fits(w):
+                return w, mode
+    return 1, "k" if use_stream_k(cfg, **extras) else "none"
 
 
 def _static_scalar(v):
@@ -203,8 +271,13 @@ def fused_supported(cfg: ILQRConfig, cost, dyn, params, u_zero_I, delta_u,
         and not cfg.unroll
         and cfg.verbose < 1
         and dtype == jnp.float32
-        and _vmem_bytes(cfg, stream_k=use_stream_k(cfg, **extras), **extras)
-        <= VMEM_SCRATCH_LIMIT
+        and (
+            _vmem_bytes(cfg, stream_k=use_stream_k(cfg, **extras), **extras)
+            <= VMEM_SCRATCH_LIMIT
+            or (_full_stream_ok(extras)
+                and _vmem_bytes(cfg, full_stream=True, **extras)
+                <= VMEM_SCRATCH_LIMIT)
+        )
     )
 
 
@@ -368,9 +441,10 @@ def _pnqp_lanes(H, q, lb, ub, x0, n_iter, nu):
     """In-kernel batched projected-Newton box-QP on lanes (reference
     pnqp.py:5-82; mirrors ops/pnqp.py's masked fixed-shape iteration).
 
-    H [nu,nu,8,128], q/lb/ub/x0 [nu,8,128]. Returns (x, If, H_free)."""
+    H [nu,nu,*ts], q/lb/ub/x0 [nu,*ts]. Returns (x, If, H_free)."""
+    ts = H.shape[2:]
     eye = jnp.stack(
-        [jnp.stack([jnp.full((8, 128), 1.0 if i == j else 0.0, jnp.float32)
+        [jnp.stack([jnp.full(ts, 1.0 if i == j else 0.0, jnp.float32)
                     for j in range(nu)]) for i in range(nu)]
     )
 
@@ -391,7 +465,7 @@ def _pnqp_lanes(H, q, lb, ub, x0, n_iter, nu):
     def armijo(x, g, dx, J):
         """Per-lane backtracking (pnqp.py:61-77). J: lanes still stepping;
         inactive lanes carry the GAMMA+1e-6 sentinel (reference quirk)."""
-        sentinel = jnp.full((8, 128), PNQP_GAMMA + 1e-6, jnp.float32)
+        sentinel = jnp.full(ts, PNQP_GAMMA + 1e-6, jnp.float32)
         ox = obj(x)
 
         def trial(alpha):
@@ -413,7 +487,7 @@ def _pnqp_lanes(H, q, lb, ub, x0, n_iter, nu):
             alpha = jnp.where(arm <= PNQP_GAMMA, alpha * PNQP_DECAY, alpha)
             return alpha, nmx, jnp.max(arm), i + 1
 
-        a0 = jnp.ones((8, 128), jnp.float32)
+        a0 = jnp.ones(ts, jnp.float32)
         _, mx, _, _ = lax.while_loop(
             cond, body,
             (a0, x, jnp.full((), PNQP_GAMMA, jnp.float32), jnp.int32(0)),
@@ -449,15 +523,19 @@ def _ilqr_kernel(
     T, nx, nu, n_params, lqr_iter, pnqp_iter, eps, ls_decay, max_ls_iter,
     best_cost_eps, not_improved_lim, step_fn, lin_fn, cost_mode, u0_zero,
     bounds_static, stream_k, uz_present, delta_u_static, unbounded,
-    lin_dx, f_present, cost_fn, n_cost_params,
+    lin_dx, f_present, cost_fn, n_cost_params, ts,
     *refs,
 ):
     """cost_mode: "lanes" (C_ref/c_ref per-example lane tensors) or "smem"
     (Cs_ref (Tc, n*n) / cs_ref (Tc, n) SMEM scalars, Tc in {1, T}).
     u0_zero: warm start is zeros -> no u0 input ref.
-    stream_k: gains live in an HBM buffer (extra raw output K_hbm), staged
-    through a 2-slot VMEM buffer with async DMA -- the long-horizon mode
-    (see use_stream_k).
+    stream_k: the streaming mode -- False/"none" (everything VMEM-resident),
+    True/"k" (gains live in an HBM buffer, an extra raw output K_hbm,
+    staged through a 2-slot VMEM buffer with async DMA -- see
+    use_stream_k), or "full" (EVERY per-timestep array -- trajectory,
+    gains, trial, best -- double-buffered through HBM, so VMEM residency
+    is O(1) in T and any horizon fits; see _full_stream_ok for the
+    supported feature subset).
     uz_present: a [T, nu] 0/1 lane input forces u_i = 0 -- masked gains
     when unbounded (reference lqr_step.py:99-127), rollout masking always
     (lqr_step.py:197-198). delta_u_static: scalar trust region intersected
@@ -465,6 +543,8 @@ def _ilqr_kernel(
     around the current iterate (lqr_step.py:200-213)."""
     n = nx + nu
     f32 = jnp.float32
+    stream = {False: "none", True: "k"}.get(stream_k, stream_k)
+    full = stream == "full"
 
     it_r = iter(refs)
     params_ref = next(it_r)
@@ -482,90 +562,261 @@ def _ilqr_kernel(
         # t = T-1 supplied by the driver)
         F_ref = next(it_r)                       # [T,nx,n,...]
         f_ref = next(it_r) if f_present else None  # [T,nx,...]
-    u0_ref = None if u0_zero else next(it_r)
+    u0_ref = None if u0_zero else next(it_r)  # full mode: raw HBM [G,T,nu,*ts]
     if bounds_static is None:
         lb_ref = next(it_r)
         ub_ref = next(it_r)
     uz_ref = next(it_r) if uz_present else None
-    bx_ref = next(it_r)
-    bu_ref = next(it_r)
+    if full:
+        bx_ref = bu_ref = None
+    else:
+        bx_ref = next(it_r)
+        bu_ref = next(it_r)
     bc_ref = next(it_r)
     bdu_ref = next(it_r)
     it_ref = next(it_r)
-    K_hbm_ref = next(it_r) if stream_k else None
-    u_ref = next(it_r)
-    x_ref = next(it_r)
-    K_ref = next(it_r)  # VMEM [T,nu,nx,...] or 2-slot staging [2,nu,nx,...]
-    k_ref = next(it_r)
+    if full:
+        # raw HBM buffers (outputs only because Pallas has no HBM scratch;
+        # B_hbm [G,T,n,*ts] is the real bx/bu output, packed)
+        B_hbm = next(it_r)
+        Kk_hbm = next(it_r)    # [G,T,nu,nx+1,*ts]
+        XU_hbm = next(it_r)    # [G,T,n,*ts]
+        TXU_hbm = next(it_r)   # [G,T,n,*ts]
+        xu_st = next(it_r)     # [2,n,*ts] staging
+        txu_st = next(it_r)
+        kk_st = next(it_r)     # [2,nu,nx+1,*ts]
+        br_st = next(it_r)     # [2,n,*ts] best read staging
+        bw_st = next(it_r)     # [2,n,*ts] best write staging
+        u0_st = None if u0_zero else next(it_r)  # [2,nu,*ts]
+        K_hbm_ref = u_ref = x_ref = K_ref = k_ref = None
+        tx_ref = tu_ref = None
+    else:
+        K_hbm_ref = next(it_r) if stream == "k" else None
+        u_ref = next(it_r)
+        x_ref = next(it_r)
+        K_ref = next(it_r)  # VMEM [T,nu,nx,...] or 2-slot staging
+        k_ref = next(it_r)
     V_ref = next(it_r)
     v_ref = next(it_r)
-    tx_ref = next(it_r)   # [T,nx,...] last trial's states
-    tu_ref = next(it_r)   # [T,nu,...] last trial's controls
+    if not full:
+        tx_ref = next(it_r)   # [T,nx,...] last trial's states
+        tu_ref = next(it_r)   # [T,nu,...] last trial's controls
     du2s_ref = next(it_r)  # alpha=1 trial's du^2 (full_du_norm)
     cc_ref = next(it_r)
     oc_ref = next(it_r)
     flags_ref = next(it_r)
-    if stream_k:
+    if stream == "k":
         wsem = next(it_r)
         rsem = next(it_r)
+    elif full:
+        xu_sem = next(it_r)
+        txu_sem = next(it_r)
+        kk_sem = next(it_r)
+        br_sem = next(it_r)
+        bw_sem = next(it_r)
+        u0_sem = None if u0_zero else next(it_r)
 
-    # --- K storage strategy -------------------------------------------------
-    # VMEM mode: K_ref[t] directly. Stream mode: the backward sweep writes
-    # K_t via staging slot i%2 (waiting for the copy issued two steps ago
-    # before reusing the slot), forward sweeps prefetch t+1 into slot
-    # (t+1)%2 while consuming slot t%2 -- the double-buffering pattern, so
-    # DMA rides under the env-step/objective compute.
-    if stream_k:
+    # --- per-timestep array storage strategy --------------------------------
+    # "none": direct VMEM scratch indexing. "k": only the [T,nu,nx] gain
+    # stack streams through HBM. "full": trajectory (XU = x|u packed),
+    # gains (Kk = K|k packed), trial (TXU), and best (B) ALL stream through
+    # HBM with the same 2-slot double-buffered async-DMA pattern -- a
+    # writing sweep stores t via staging slot t%2 (waiting for the copy
+    # issued two steps ago before reusing the slot), a reading sweep
+    # prefetches the next step's tile into the other slot while consuming
+    # slot t%2 -- so DMA rides under the env-step/objective compute and
+    # VMEM residency is O(1) in T (any horizon fits).
+    if full:
         g_id = pl.program_id(0)
 
-        def _wdma(slot, t):
-            return pltpu.make_async_copy(
-                K_ref.at[slot], K_hbm_ref.at[g_id, t], wsem.at[slot]
-            )
+        def _mk_stream(hbm, st, sem):
+            """2-slot double-buffered HBM<->VMEM staging for one [T,*elem]
+            per-tile array. Sweeps must be sequential in t (d = +1/-1);
+            read and write phases of one stream must not overlap (the B
+            read-modify-write uses two streams on the same HBM buffer)."""
 
-        def _rdma(slot, t):
-            return pltpu.make_async_copy(
-                K_hbm_ref.at[g_id, t], K_ref.at[slot], rsem.at[slot]
-            )
+            def w(slot, t):
+                return pltpu.make_async_copy(
+                    st.at[slot], hbm.at[g_id, t], sem.at[slot]
+                )
 
-        def k_write(i, t, K):
-            slot = lax.rem(i, 2)
+            def r(slot, t):
+                return pltpu.make_async_copy(
+                    hbm.at[g_id, t], st.at[slot], sem.at[slot]
+                )
 
-            @pl.when(i >= 2)
-            def _():
-                _wdma(slot, t + 2).wait()
+            def read_begin(t0):
+                r(lax.rem(t0, 2), t0).start()
 
-            K_ref[slot] = K
-            _wdma(slot, t).start()
+            def read_at(t, d):
+                nt = t + d
 
-        def k_write_flush():
-            for j in range(max(T - 2, 0), T):
-                _wdma(j % 2, T - 1 - j).wait()
+                @pl.when((nt >= 0) & (nt < T))
+                def _():
+                    r(lax.rem(nt, 2), nt).start()
 
-        def k_sweep_begin():
-            _rdma(0, 0).start()
+                slot = lax.rem(t, 2)
+                r(slot, t).wait()
+                return st[slot]
 
-        def K_at(t):
-            @pl.when(t + 1 < T)
-            def _():
-                _rdma(lax.rem(t + 1, 2), t + 1).start()
+            def write(t, val, d):
+                slot = lax.rem(t, 2)
+                to = t - 2 * d  # this slot's previous write, two steps ago
 
-            slot = lax.rem(t, 2)
-            _rdma(slot, t).wait()
-            return K_ref[slot]
+                @pl.when((to >= 0) & (to < T))
+                def _():
+                    w(slot, to).wait()
+
+                st[slot] = val
+                w(slot, t).start()
+
+            def write_flush(d):
+                for tj in ((1, 0) if d < 0 else (T - 2, T - 1)):
+                    if 0 <= tj < T:
+                        w(tj % 2, tj).wait()
+
+            return read_begin, read_at, write, write_flush
+
+        xu_begin, _xu_read, _xu_put, xu_flush = _mk_stream(
+            XU_hbm, xu_st, xu_sem)
+        txu_begin, _txu_read, _txu_put, txu_flush = _mk_stream(
+            TXU_hbm, txu_st, txu_sem)
+        _kk_begin, _kk_read, _kk_put, _kk_flush = _mk_stream(
+            Kk_hbm, kk_st, kk_sem)
+        b_begin, _b_read, _, _ = _mk_stream(B_hbm, br_st, br_sem)
+        _, _, _b_put, b_flush = _mk_stream(B_hbm, bw_st, bw_sem)
+        if not u0_zero:
+            u0_begin, _u0_read, _, _ = _mk_stream(u0_ref, u0_st, u0_sem)
+
+        def xu_at(t, d):
+            xu = _xu_read(t, d)
+            return xu[:nx], xu[nx:]
+
+        def xu_write(t, xt, ut, d):
+            _xu_put(t, jnp.concatenate([xt, ut], axis=0), d)
+
+        def kk_write(i, t, K, kt):
+            _kk_put(t, jnp.concatenate([K, kt[:, None]], axis=1), -1)
+
+        def kk_flush():
+            _kk_flush(-1)
+
+        def kk_begin():
+            _kk_begin(0)
+
+        def kk_at(t):
+            kk = _kk_read(t, 1)
+            return kk[:, :nx], kk[:, nx]
+
+        def k_warm(t):
+            # the backward step for t+1 just wrote staging slot (t+1)%2;
+            # the in-flight DMA only reads it, so the value is still there
+            return kk_st[lax.rem(t + 1, 2), :, nx]
+
+        def txu_put(t, xt, ut):
+            _txu_put(t, jnp.concatenate([xt, ut], axis=0), 1)
+
+        def txu_get(t):
+            txu = _txu_read(t, 1)
+            return txu[:nx], txu[nx:]
+
+        def b_accept(t, improved, xt, ut):
+            old = _b_read(t, 1)
+            new = jnp.concatenate([xt, ut], axis=0)
+            _b_put(t, jnp.where(improved[None], new, old), 1)
+
     else:
+        if stream == "k":
+            g_id = pl.program_id(0)
 
-        def k_write(i, t, K):
-            K_ref[t] = K
+            def _wdma(slot, t):
+                return pltpu.make_async_copy(
+                    K_ref.at[slot], K_hbm_ref.at[g_id, t], wsem.at[slot]
+                )
 
-        def k_write_flush():
-            pass
+            def _rdma(slot, t):
+                return pltpu.make_async_copy(
+                    K_hbm_ref.at[g_id, t], K_ref.at[slot], rsem.at[slot]
+                )
 
-        def k_sweep_begin():
-            pass
+            def k_write(i, t, K):
+                slot = lax.rem(i, 2)
 
-        def K_at(t):
-            return K_ref[t]
+                @pl.when(i >= 2)
+                def _():
+                    _wdma(slot, t + 2).wait()
+
+                K_ref[slot] = K
+                _wdma(slot, t).start()
+
+            def k_write_flush():
+                for j in range(max(T - 2, 0), T):
+                    _wdma(j % 2, T - 1 - j).wait()
+
+            def k_sweep_begin():
+                _rdma(0, 0).start()
+
+            def K_at(t):
+                @pl.when(t + 1 < T)
+                def _():
+                    _rdma(lax.rem(t + 1, 2), t + 1).start()
+
+                slot = lax.rem(t, 2)
+                _rdma(slot, t).wait()
+                return K_ref[slot]
+        else:
+
+            def k_write(i, t, K):
+                K_ref[t] = K
+
+            def k_write_flush():
+                pass
+
+            def k_sweep_begin():
+                pass
+
+            def K_at(t):
+                return K_ref[t]
+
+        # uniform accessors over the VMEM scratch (no-op begins/flushes)
+        def xu_at(t, d):
+            return x_ref[t], u_ref[t]
+
+        def xu_write(t, xt, ut, d):
+            x_ref[t] = xt
+            u_ref[t] = ut
+
+        xu_begin = lambda t0: None
+        xu_flush = lambda d: None
+
+        def kk_write(i, t, K, kt):
+            k_write(i, t, K)
+            k_ref[t] = kt
+
+        kk_flush = k_write_flush
+        kk_begin = k_sweep_begin
+
+        def kk_at(t):
+            return K_at(t), k_ref[t]
+
+        def k_warm(t):
+            return k_ref[jnp.minimum(t + 1, T - 1)]
+
+        def txu_put(t, xt, ut):
+            tx_ref[t] = xt
+            tu_ref[t] = ut
+
+        def txu_get(t):
+            return tx_ref[t], tu_ref[t]
+
+        txu_begin = lambda t0: None
+        txu_flush = lambda d: None
+        b_begin = lambda t0: None
+        b_flush = lambda d: None
+
+        def b_accept(t, improved, xt, ut):
+            bx_ref[t] = jnp.where(improved[None], xt, bx_ref[t])
+            bu_ref[t] = jnp.where(improved[None], ut, bu_ref[t])
 
     if cost_mode == "lanes":
         Cmat = lambda t: C_ref[t]                     # [n,n,8,128]
@@ -584,7 +835,7 @@ def _ilqr_kernel(
 
         def basis_n(hot):
             return jnp.stack([
-                jnp.full((8, 128), 1.0 if a == hot else 0.0, f32)
+                jnp.full(ts, 1.0 if a == hot else 0.0, f32)
                 for a in range(n)
             ])
 
@@ -614,15 +865,15 @@ def _ilqr_kernel(
                 # get_true_obj spec) costs O(n) not O(n^2) per use
                 return jnp.stack([
                     jnp.stack([
-                        jnp.broadcast_to(Cs_ref[ti, i], (8, 128))
-                        if i == j else jnp.zeros((8, 128), f32)
+                        jnp.broadcast_to(Cs_ref[ti, i], ts)
+                        if i == j else jnp.zeros(ts, f32)
                         for j in range(n)
                     ])
                     for i in range(n)
                 ])
             return jnp.stack([
                 jnp.stack([
-                    jnp.broadcast_to(Cs_ref[ti, i * n + j], (8, 128))
+                    jnp.broadcast_to(Cs_ref[ti, i * n + j], ts)
                     for j in range(n)
                 ])
                 for i in range(n)
@@ -631,7 +882,7 @@ def _ilqr_kernel(
         def cvec(t):
             ti = t if per_t else 0
             return jnp.stack([
-                jnp.broadcast_to(cs_ref[ti, i], (8, 128)) for i in range(n)
+                jnp.broadcast_to(cs_ref[ti, i], ts) for i in range(n)
             ])
 
     params = [params_ref[0, i] for i in range(n_params)]
@@ -643,19 +894,22 @@ def _ilqr_kernel(
     else:
         # example-invariant bounds baked in as compile-time constants
         lbc, ubc = bounds_static
-        lb_const = jnp.stack([jnp.full((8, 128), v, f32) for v in lbc])
-        ub_const = jnp.stack([jnp.full((8, 128), v, f32) for v in ubc])
+        lb_const = jnp.stack([jnp.full(ts, v, f32) for v in lbc])
+        ub_const = jnp.stack([jnp.full(ts, v, f32) for v in ubc])
         lb_at = lambda t: lb_const
         ub_at = lambda t: ub_const
 
-    if u0_zero:
-        u_ref[...] = jnp.zeros(u_ref.shape, f32)
-    else:
-        u_ref[...] = u0_ref[...]
-    bc_ref[...] = jnp.full((8, 128), jnp.inf, f32)
-    bdu_ref[...] = jnp.full((8, 128), jnp.inf, f32)
-    bx_ref[...] = jnp.zeros(bx_ref.shape, f32)
-    bu_ref[...] = jnp.zeros(bu_ref.shape, f32)
+    if not full:
+        if u0_zero:
+            u_ref[...] = jnp.zeros(u_ref.shape, f32)
+        else:
+            u_ref[...] = u0_ref[...]
+        # full mode: B_hbm needs no zero-init -- bc = inf makes the first
+        # iteration's accept unconditionally write every timestep
+        bx_ref[...] = jnp.zeros(bx_ref.shape, f32)
+        bu_ref[...] = jnp.zeros(bu_ref.shape, f32)
+    bc_ref[...] = jnp.full(ts, jnp.inf, f32)
+    bdu_ref[...] = jnp.full(ts, jnp.inf, f32)
     flags_ref[0] = 0
     flags_ref[1] = 0
     flags_ref[2] = 0
@@ -682,14 +936,23 @@ def _ilqr_kernel(
 
     # ---- 1) initial open-loop rollout + objective (once; afterwards the
     # accept pass maintains x_ref/u_ref and their cost, util.py:104-153) ----
+    if full and not u0_zero:
+        u0_begin(0)
+
     def roll(t, carry):
         xt, cost = carry
-        x_ref[t] = xt
-        ut = u_ref[t]
+        if full:
+            ut = (jnp.zeros((nu,) + ts, f32) if u0_zero
+                  else _u0_read(t, 1))
+            xu_write(t, xt, ut, 1)
+        else:
+            x_ref[t] = xt
+            ut = u_ref[t]
         cost = cost + obj_t(t, xt, ut)
         return step_t(t, xt, ut), cost
 
-    _, oc0 = lax.fori_loop(0, T, roll, (x_init, jnp.zeros((8, 128), f32)))
+    _, oc0 = lax.fori_loop(0, T, roll, (x_init, jnp.zeros(ts, f32)))
+    xu_flush(1)
     oc_ref[...] = oc0
 
     def outer_body(it, _):
@@ -704,12 +967,13 @@ def _ilqr_kernel(
             V_ref[...] = jnp.zeros(V_ref.shape, f32)
             v_ref[...] = jnp.zeros(v_ref.shape, f32)
 
+            xu_begin(T - 1)
+
             def ric_body(i, _c):
                 t = T - 1 - i
                 V = V_ref[...]           # [nx,nx,8,128]
                 v = v_ref[...]           # [nx,8,128]
-                xt = x_ref[t]
-                ut = u_ref[t]
+                xt, ut = xu_at(t, -1)
 
                 # F_t (zero slab at t = T-1: V_T = 0 makes it inert).
                 # Inline one-hot jvp per column: a fori over columns with
@@ -718,7 +982,7 @@ def _ilqr_kernel(
                 # cost win, so the n unrolled applications stay.
                 def basis(size, hot):
                     return jnp.stack([
-                        jnp.full((8, 128), 1.0 if a == hot else 0.0, f32)
+                        jnp.full(ts, 1.0 if a == hot else 0.0, f32)
                         for a in range(size)
                     ])
 
@@ -758,8 +1022,8 @@ def _ilqr_kernel(
                 Quu = Q[nx:, nx:]
                 qx = q[:nx]
                 qu = q[nx:]
-                lb = lb_at(t) - u_ref[t]
-                ub = ub_at(t) - u_ref[t]
+                lb = lb_at(t) - ut
+                ub = ub_at(t) - ut
                 if delta_u_static is not None:
                     # trust region intersected into the delta-space QP
                     # bounds (lqr_step.py:132-135)
@@ -776,7 +1040,7 @@ def _ilqr_kernel(
                     qu_ = qu * notI
                     eyeI = jnp.stack([
                         jnp.stack([
-                            Iz[a] if a == b else jnp.zeros((8, 128), f32)
+                            Iz[a] if a == b else jnp.zeros(ts, f32)
                             for b in range(nu)
                         ]) for a in range(nu)
                     ])
@@ -800,7 +1064,7 @@ def _ilqr_kernel(
                 else:
                     # warm start with next timestep's k (lqr_step.py:135-137)
                     Hinv0 = _inv_lanes(Quu + PNQP_REG * jnp.stack(
-                        [jnp.stack([jnp.full((8, 128),
+                        [jnp.stack([jnp.full(ts,
                                              1.0 if a == b else 0.0, f32)
                                     for b in range(nu)]) for a in range(nu)]
                     ), nu)
@@ -809,7 +1073,7 @@ def _ilqr_kernel(
                     # bounds; the where() discards it there
                     warm = jnp.where(
                         t < T - 1,
-                        k_ref[jnp.minimum(t + 1, T - 1)],
+                        k_warm(t),
                         jnp.clip(default_init, lb, ub),
                     )
                     kt, If, H_free = _pnqp_lanes(
@@ -832,12 +1096,11 @@ def _ilqr_kernel(
                 vn = qx + _mv(Qxu, kt) + _mv(KT, qu + _mv(Quu, kt))
                 V_ref[...] = Vn
                 v_ref[...] = vn
-                k_write(i, t, K)
-                k_ref[t] = kt
+                kk_write(i, t, K, kt)
                 return 0
 
             lax.fori_loop(0, T, ric_body, 0)
-            k_write_flush()
+            kk_flush()
 
             # ---- 5) batched backtracking line search ----
             # ONE traced instance of the trial sweep (initial alpha=1 trial
@@ -847,10 +1110,10 @@ def _ilqr_kernel(
             # pass is a pure copy instead of a third env-step sweep. The
             # last executed trial's alpha IS alpha_used per lane, so the
             # stored trajectory is exactly what the old recompute produced.
-            def trial_step(t, xt, alpha):
-                dxt = xt - x_ref[t]
-                new_u = _mv(K_at(t), dxt) + u_ref[t] \
-                    + alpha[None] * k_ref[t]
+            def trial_step(t, xt, xrt, urt, alpha):
+                dxt = xt - xrt
+                Kt, kt = kk_at(t)
+                new_u = _mv(Kt, dxt) + urt + alpha[None] * kt
                 if uz_present:
                     # zero masked coords BEFORE clamping (the reference's
                     # order, lqr_step.py:197-213)
@@ -859,28 +1122,30 @@ def _ilqr_kernel(
                 if delta_u_static is not None:
                     # clamp widened around the current iterate
                     # (lqr_step.py:203-211)
-                    lo = jnp.maximum(u_ref[t] - delta_u_static, lo)
-                    hi = jnp.minimum(u_ref[t] + delta_u_static, hi)
+                    lo = jnp.maximum(urt - delta_u_static, lo)
+                    hi = jnp.minimum(urt + delta_u_static, hi)
                 new_u = jnp.clip(new_u, lo, hi)
                 return new_u
 
             def trial(alpha):
                 def tbody(t, carry):
                     xt, cost, du2 = carry
-                    new_u = trial_step(t, xt, alpha)
-                    d = u_ref[t] - new_u
+                    xrt, urt = xu_at(t, 1)
+                    new_u = trial_step(t, xt, xrt, urt, alpha)
+                    d = urt - new_u
                     du2 = du2 + (d * d).sum(0)
-                    tx_ref[t] = xt
-                    tu_ref[t] = new_u
+                    txu_put(t, xt, new_u)
                     cost = cost + obj_t(t, xt, new_u)
                     return step_t(t, xt, new_u), cost, du2
 
-                k_sweep_begin()
-                z = jnp.zeros((8, 128), f32)
+                kk_begin()
+                xu_begin(0)
+                z = jnp.zeros(ts, f32)
                 _, cost, du2 = lax.fori_loop(0, T, tbody, (x_init, z, z))
+                txu_flush(1)
                 return cost, du2
 
-            ones = jnp.ones((8, 128), f32)
+            ones = jnp.ones(ts, f32)
 
             def ls_body(i, alpha):
                 # i == 0 is the unconditional alpha=1 trial whose du2 is
@@ -908,18 +1173,19 @@ def _ilqr_kernel(
             # fold in best tracking (mpc.py:266-301) in one pass: tx/tu
             # hold exactly that trial's trajectory ----
             improved = cc <= bc_ref[...] + best_cost_eps
-            impx = improved[None, None]
+
+            txu_begin(0)
+            b_begin(0)
 
             def accept(t, _c):
-                xt = tx_ref[t]
-                new_u = tu_ref[t]
-                x_ref[t] = xt
-                u_ref[t] = new_u
-                bx_ref[t] = jnp.where(impx[0], xt, bx_ref[t])
-                bu_ref[t] = jnp.where(impx[0], new_u, bu_ref[t])
+                xt, new_u = txu_get(t)
+                xu_write(t, xt, new_u, 1)
+                b_accept(t, improved, xt, new_u)
                 return 0
 
             lax.fori_loop(0, T, accept, 0)
+            xu_flush(1)
+            b_flush(1)
 
             oc_ref[...] = cc  # accepted iterate's cost = next old_cost
             bc_ref[...] = jnp.where(improved, cc, bc_ref[...])
@@ -935,7 +1201,7 @@ def _ilqr_kernel(
         return 0
 
     lax.fori_loop(0, lqr_iter, outer_body, 0)
-    it_ref[...] = jnp.full((8, 128), 1.0, f32) * flags_ref[2].astype(f32)
+    it_ref[...] = jnp.full(ts, 1.0, f32) * flags_ref[2].astype(f32)
 
 
 def ilqr_fused(
@@ -955,6 +1221,7 @@ def ilqr_fused(
     #                      quadraticized module cost; C/c may be None
     interpret: bool = False,
     force_stream_k: Optional[bool] = None,  # tests only; None = auto
+    lanes_width: Optional[int] = None,      # tests only; None = auto
 ):
     """Run the fused whole-solve kernel. ``dyn`` is a Dynamics (nonlinear
     iLQR) or a LinDx (time-varying affine LQR; F/f ride in as lane
@@ -971,8 +1238,27 @@ def ilqr_fused(
         params = jnp.asarray(params, f32)
     n_params = params.shape[0]
 
-    Bp = -(-B // BT) * BT
-    G = Bp // BT
+    # --- tile geometry: widen the lane axis when the batch and VMEM
+    # allow (see _pick_lanes_width) ---
+    extras = dict(
+        lin_dx=lin_dx,
+        lanes_cost=cost_small is None and cost_callable is None,
+        uz=u_zero_I is not None,
+        warm=u_init is not None,
+        dyn_bounds=_static_bounds(u_lower, u_upper, nu) is None,
+    )
+    W, auto_mode = _pick_lanes_width(cfg, extras, -(-B // BT))
+    if lanes_width is not None:
+        W = lanes_width
+        auto_mode = _mode_at_width(cfg, extras, W)
+    if force_stream_k is None:
+        force_stream_k = auto_mode
+    lw = 128 * W
+    bt = BT * W
+    ts = (8, lw)
+
+    Bp = -(-B // bt) * bt
+    G = Bp // bt
 
     # --- cost: SMEM scalars when example-invariant, lanes otherwise ---
     cost_mode = "lanes"
@@ -1023,8 +1309,8 @@ def ilqr_fused(
     if cost_mode == "lanes":
         C_p = pad_cost_identity(pad_batch(C.astype(f32), B, Bp), T, B, Bp, n)
         c_p = pad_batch(c.astype(f32), B, Bp)
-        cost_in = [to_lanes(C_p, T, Bp), to_lanes(c_p, T, Bp)]
-        cost_specs = [bspec(T, (n, n)), bspec(T, (n,))]
+        cost_in = [to_lanes(C_p, T, Bp, lw), to_lanes(c_p, T, Bp, lw)]
+        cost_specs = [bspec(T, (n, n), lw), bspec(T, (n,), lw)]
     elif cost_mode != "callable":
         cost_in = [Cs_in, cs_in]
         cost_specs = [
@@ -1040,30 +1326,37 @@ def ilqr_fused(
         # convert to lanes
         Fz = jnp.zeros((1, B, nx, n), f32)
         F_full = jnp.concatenate([dyn.F.astype(f32), Fz], axis=0)
-        lin_in = [to_lanes(pad_batch(F_full, B, Bp), T, Bp)]
-        lin_specs = [bspec(T, (nx, n))]
+        lin_in = [to_lanes(pad_batch(F_full, B, Bp), T, Bp, lw)]
+        lin_specs = [bspec(T, (nx, n), lw)]
         if dyn.f is not None:
             f_present = True
             fz = jnp.zeros((1, B, nx), f32)
             f_full = jnp.concatenate([dyn.f.astype(f32), fz], axis=0)
-            lin_in.append(to_lanes(pad_batch(f_full, B, Bp), T, Bp))
-            lin_specs.append(bspec(T, (nx,)))
+            lin_in.append(to_lanes(pad_batch(f_full, B, Bp), T, Bp, lw))
+            lin_specs.append(bspec(T, (nx,), lw))
 
+    stream_mode = {False: "none", True: "k"}.get(
+        force_stream_k, force_stream_k)
     u0_zero = u_init is None
     u_in = []
     u_specs = []
     if not u0_zero:
         u_p = pad_batch(u_init.astype(f32), B, Bp)
-        u_in = [to_lanes(u_p, T, Bp)]          # [T,nu,G,8,128]
-        u_specs = [bspec(T, (nu,))]
+        if stream_mode == "full":
+            # grid-major HBM layout, DMA'd in-kernel by the u0 stream
+            u_in = [jnp.moveaxis(to_lanes(u_p, T, Bp, lw), 2, 0)]
+            u_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+        else:
+            u_in = [to_lanes(u_p, T, Bp, lw)]  # [T,nu,G,8,lw]
+            u_specs = [bspec(T, (nu,), lw)]
 
     uz_in = []
     uz_specs = []
     uz_present = u_zero_I is not None
     if uz_present:
         uz_p = pad_batch(u_zero_I.astype(f32), B, Bp)
-        uz_in = [to_lanes(uz_p, T, Bp)]        # [T,nu,G,8,128] floats 0/1
-        uz_specs = [bspec(T, (nu,))]
+        uz_in = [to_lanes(uz_p, T, Bp, lw)]    # [T,nu,G,8,lw] floats 0/1
+        uz_specs = [bspec(T, (nu,), lw)]
 
     delta_u_static = _static_scalar(delta_u)
     unbounded = u_lower is None
@@ -1071,27 +1364,32 @@ def ilqr_fused(
     bounds_static = _static_bounds(u_lower, u_upper, nu)
     if bounds_static is None:
         bound_in = [
-            to_lanes(expand_bound(u_lower, T, B, Bp, nu, -1.0), T, Bp),
-            to_lanes(expand_bound(u_upper, T, B, Bp, nu, +1.0), T, Bp),
+            to_lanes(expand_bound(u_lower, T, B, Bp, nu, -1.0), T, Bp, lw),
+            to_lanes(expand_bound(u_upper, T, B, Bp, nu, +1.0), T, Bp, lw),
         ]
-        bound_specs = [bspec(T, (nu,)), bspec(T, (nu,))]
+        bound_specs = [bspec(T, (nu,), lw), bspec(T, (nu,), lw)]
     else:
         bound_in = []
         bound_specs = []
 
     xi_p = pad_batch(x_init.astype(f32)[None], B, Bp)[0]  # [Bp, nx]
-    xi_l = xi_p.T.reshape(nx, G, 8, 128)
+    xi_l = xi_p.T.reshape(nx, G, 8, lw)
 
     out = _pallas_solve(
         cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs, bound_specs,
         uz_specs, u0_zero, bounds_static, uz_present, delta_u_static,
         unbounded, interpret, force_stream_k,
         lin_specs=lin_specs, lin_dx=lin_dx, f_present=f_present,
-        cost_fn=ccall_fn, n_cost_params=n_cp,
+        cost_fn=ccall_fn, n_cost_params=n_cp, ts=ts,
     )(params.reshape(1, n_params), xi_l, *cost_in, *lin_in, *u_in,
       *bound_in, *uz_in)
 
-    bx_l, bu_l, bc_l, bdu_l, it_l = out[:5]
+    if stream_mode == "full":
+        bc_l, bdu_l, it_l, B_raw = out[0], out[1], out[2], out[3]
+        Bm = jnp.moveaxis(B_raw, 0, 2)      # [T,n,G,8,lw]
+        bx_l, bu_l = Bm[:, :nx], Bm[:, nx:]
+    else:
+        bx_l, bu_l, bc_l, bdu_l, it_l = out[:5]
     x = from_lanes(bx_l, T, B)   # [T,B,nx]
     u = from_lanes(bu_l, T, B)   # [T,B,nu]
     costs = bc_l.reshape(-1)[:B]
@@ -1104,93 +1402,141 @@ def _pallas_solve(cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs,
                   bound_specs, uz_specs, u0_zero, bounds_static, uz_present,
                   delta_u_static, unbounded, interpret, force_stream_k,
                   lin_specs=(), lin_dx=False, f_present=False,
-                  cost_fn=None, n_cost_params=0):
+                  cost_fn=None, n_cost_params=0, ts=(8, 128)):
     """Build the configured whole-solve pallas_call. Returns a callable
-    (params [1,P], xi_lanes [nx,G,8,128], *cost_in, *lin_in, *u_in,
+    (params [1,P], xi_lanes [nx,G,*ts], *cost_in, *lin_in, *u_in,
     *bound_in, *uz_in) -> (bx, bu, bc, bdu, iters[, K_hbm]) in LANE
-    layout."""
+    layout. ts is the per-entry tile shape (8, 128*W)."""
     T, nx, nu = cfg.T, cfg.n_state, cfg.n_ctrl
     f32 = jnp.float32
+    lw = ts[1]
 
-    stream_k = (
-        use_stream_k(
+    if force_stream_k is None:
+        stream = "k" if use_stream_k(
             cfg, lin_dx, lanes_cost=cost_mode == "lanes",
             uz=uz_present, warm=not u0_zero,
-            dyn_bounds=bounds_static is None,
-        )
-        if force_stream_k is None
-        else force_stream_k
-    )
+            dyn_bounds=bounds_static is None, bt=ts[0] * ts[1],
+        ) else "none"
+    else:
+        stream = {False: "none", True: "k"}.get(
+            force_stream_k, force_stream_k)
+    full = stream == "full"
+    n = nx + nu
     step_fn = None if lin_dx else dyn.step
     lin_fn = None if lin_dx else dyn.linearize_point
     kernel = functools.partial(
         _ilqr_kernel, T, nx, nu, n_params, cfg.lqr_iter, cfg.pnqp_iter,
         cfg.eps, cfg.linesearch_decay, cfg.max_linesearch_iter,
         cfg.best_cost_eps, cfg.not_improved_lim, step_fn,
-        lin_fn, cost_mode, u0_zero, bounds_static, stream_k,
+        lin_fn, cost_mode, u0_zero, bounds_static, stream,
         uz_present, delta_u_static, unbounded, lin_dx, f_present,
-        cost_fn, n_cost_params,
+        cost_fn, n_cost_params, ts,
     )
 
-    out_specs = [
-        bspec(T, (nx,)),     # bx
-        bspec(T, (nu,)),     # bu
-        bspec(None, ()),     # bc
-        bspec(None, ()),     # bdu
-        bspec(None, ()),     # iters
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((T, nx, G, 8, 128), f32),
-        jax.ShapeDtypeStruct((T, nu, G, 8, 128), f32),
-        jax.ShapeDtypeStruct((G, 8, 128), f32),
-        jax.ShapeDtypeStruct((G, 8, 128), f32),
-        jax.ShapeDtypeStruct((G, 8, 128), f32),
-    ]
-    if stream_k:
-        # long-horizon mode: the [T, nu, nx] gain stack lives in
-        # compiler-placed (HBM) memory, indexed [tile, t] in-kernel via
-        # async DMA; an output only because Pallas has no HBM scratch --
-        # callers ignore it
-        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        out_shape.append(jax.ShapeDtypeStruct((G, T, nu, nx, 8, 128), f32))
-        k_scratch = pltpu.VMEM((2, nu, nx, 8, 128), f32)  # staging slots
-        sem_scratch = [
-            pltpu.SemaphoreType.DMA((2,)),  # write slots
-            pltpu.SemaphoreType.DMA((2,)),  # read slots
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    sds = jax.ShapeDtypeStruct
+    if full:
+        # bx/bu ride out packed in the raw B_hbm buffer; Kk/XU/TXU are
+        # HBM working buffers (outputs only because Pallas has no HBM
+        # scratch) the caller drops
+        out_specs = [
+            bspec(None, (), lw),     # bc
+            bspec(None, (), lw),     # bdu
+            bspec(None, (), lw),     # iters
+            anyspec,                 # B (packed best x|u)
+            anyspec,                 # Kk
+            anyspec,                 # XU
+            anyspec,                 # TXU
         ]
+        out_shape = [
+            sds((G,) + ts, f32),
+            sds((G,) + ts, f32),
+            sds((G,) + ts, f32),
+            sds((G, T, n) + ts, f32),
+            sds((G, T, nu, nx + 1) + ts, f32),
+            sds((G, T, n) + ts, f32),
+            sds((G, T, n) + ts, f32),
+        ]
+        n_raw_out = 4
+        warm = not u0_zero
+        scratch_shapes = [
+            pltpu.VMEM((2, n) + ts, f32),            # xu staging
+            pltpu.VMEM((2, n) + ts, f32),            # txu staging
+            pltpu.VMEM((2, nu, nx + 1) + ts, f32),   # Kk staging
+            pltpu.VMEM((2, n) + ts, f32),            # B read staging
+            pltpu.VMEM((2, n) + ts, f32),            # B write staging
+        ] + ([pltpu.VMEM((2, nu) + ts, f32)] if warm else []) + [
+            pltpu.VMEM((nx, nx) + ts, f32),          # V
+            pltpu.VMEM((nx,) + ts, f32),             # v
+            pltpu.VMEM(ts, f32),                     # du2 (alpha=1)
+            pltpu.VMEM(ts, f32),                     # cc
+            pltpu.VMEM(ts, f32),                     # old_cost
+            pltpu.SMEM((4,), jnp.int32),             # flags
+        ] + [pltpu.SemaphoreType.DMA((2,))] * (5 + int(warm))
     else:
-        k_scratch = pltpu.VMEM((T, nu, nx, 8, 128), f32)
-        sem_scratch = []
+        out_specs = [
+            bspec(T, (nx,), lw),     # bx
+            bspec(T, (nu,), lw),     # bu
+            bspec(None, (), lw),     # bc
+            bspec(None, (), lw),     # bdu
+            bspec(None, (), lw),     # iters
+        ]
+        out_shape = [
+            sds((T, nx, G) + ts, f32),
+            sds((T, nu, G) + ts, f32),
+            sds((G,) + ts, f32),
+            sds((G,) + ts, f32),
+            sds((G,) + ts, f32),
+        ]
+        if stream == "k":
+            # long-horizon mode: the [T, nu, nx] gain stack lives in
+            # compiler-placed (HBM) memory, indexed [tile, t] in-kernel
+            # via async DMA; an output only because Pallas has no HBM
+            # scratch -- callers ignore it
+            out_specs.append(anyspec)
+            out_shape.append(sds((G, T, nu, nx) + ts, f32))
+            k_scratch = pltpu.VMEM((2, nu, nx) + ts, f32)  # staging slots
+            sem_scratch = [
+                pltpu.SemaphoreType.DMA((2,)),  # write slots
+                pltpu.SemaphoreType.DMA((2,)),  # read slots
+            ]
+            n_raw_out = 1
+        else:
+            k_scratch = pltpu.VMEM((T, nu, nx) + ts, f32)
+            sem_scratch = []
+            n_raw_out = 0
+        scratch_shapes = [
+            pltpu.VMEM((T, nu) + ts, f32),      # u
+            pltpu.VMEM((T, nx) + ts, f32),      # x
+            k_scratch,                          # K / staging
+            pltpu.VMEM((T, nu) + ts, f32),      # k
+            pltpu.VMEM((nx, nx) + ts, f32),     # V
+            pltpu.VMEM((nx,) + ts, f32),        # v
+            pltpu.VMEM((T, nx) + ts, f32),      # tx (trial x)
+            pltpu.VMEM((T, nu) + ts, f32),      # tu (trial u)
+            pltpu.VMEM(ts, f32),                # du2 (alpha=1)
+            pltpu.VMEM(ts, f32),                # cc
+            pltpu.VMEM(ts, f32),                # old_cost
+            pltpu.SMEM((4,), jnp.int32),        # flags
+        ] + sem_scratch
 
     def call(*arrays):
         with kernel_context():
             return pl.pallas_call(
                 _squeeze_io(
-                    kernel, cost_mode, n_raw_out=1 if stream_k else 0,
-                    n_scratch=12 + len(sem_scratch),
+                    kernel, cost_mode, n_raw_out=n_raw_out,
+                    n_scratch=len(scratch_shapes),
+                    raw_u0=full and not u0_zero,
                 ),
                 grid=(G,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),  # params (1, P)
-                    bspec(None, (nx,)),  # x_init
+                    bspec(None, (nx,), lw),  # x_init
                 ] + cost_specs + list(lin_specs) + u_specs + bound_specs
                 + uz_specs,
                 out_specs=out_specs,
                 out_shape=out_shape,
-                scratch_shapes=[
-                    pltpu.VMEM((T, nu, 8, 128), f32),      # u
-                    pltpu.VMEM((T, nx, 8, 128), f32),      # x
-                    k_scratch,                             # K / staging
-                    pltpu.VMEM((T, nu, 8, 128), f32),      # k
-                    pltpu.VMEM((nx, nx, 8, 128), f32),     # V
-                    pltpu.VMEM((nx, 8, 128), f32),         # v
-                    pltpu.VMEM((T, nx, 8, 128), f32),      # tx (trial x)
-                    pltpu.VMEM((T, nu, 8, 128), f32),      # tu (trial u)
-                    pltpu.VMEM((8, 128), f32),             # du2 (alpha=1)
-                    pltpu.VMEM((8, 128), f32),             # cc
-                    pltpu.VMEM((8, 128), f32),             # old_cost
-                    pltpu.SMEM((4,), jnp.int32),           # flags
-                ] + sem_scratch,
+                scratch_shapes=scratch_shapes,
                 interpret=interpret,
             )(*arrays)
 
@@ -1201,7 +1547,8 @@ def ilqr_fused_lanes(
     cfg: ILQRConfig,
     dyn: Dynamics,
     params2d: jax.Array,   # [1, P] float32
-    xi_lanes: jax.Array,   # [nx, G, 8, 128] (to_lanes of x_init^T)
+    xi_lanes: jax.Array,   # [nx, G, 8, lw] (to_lanes of x_init^T;
+    #                        lw = 128*W selects the lane-widened tile)
     Cs: jax.Array,         # [Tc, n] diag entries (diag=True) or [Tc, n*n]
     cs: jax.Array,         # [Tc, n]; Tc in {1, T}
     u_lower=None,
@@ -1226,6 +1573,8 @@ def ilqr_fused_lanes(
     """
     assert xi_lanes.ndim == 4 and xi_lanes.shape[0] == cfg.n_state
     G = xi_lanes.shape[1]
+    ts = tuple(xi_lanes.shape[2:])
+    assert ts[0] == 8 and ts[1] % 128 == 0, ts
     bounds_static = _static_bounds(u_lower, u_upper, cfg.n_ctrl)
     assert bounds_static is not None, "resident entry requires static bounds"
     cost_specs = [
@@ -1235,15 +1584,16 @@ def ilqr_fused_lanes(
     return _pallas_solve(
         cfg, dyn, params2d.shape[1], G, "diag" if diag else "smem",
         cost_specs, [], [], [], True, bounds_static, False, None,
-        u_lower is None, interpret, None,
+        u_lower is None, interpret, None, ts=ts,
     )(params2d, xi_lanes, Cs, cs)
 
 
-def _squeeze_io(kernel, cost_mode, n_raw_out=0, n_scratch=12):
-    """Wrap lane-tensor refs in LaneView. SMEM refs, the n_raw_out trailing
-    outputs (the stream-K HBM buffer), and the n_scratch trailing scratch
-    refs (u, x, K/staging, k, V, v, tx, tu, du2, cc, oc, flags [, wsem,
-    rsem]) pass through untouched."""
+def _squeeze_io(kernel, cost_mode, n_raw_out=0, n_scratch=12,
+                raw_u0=False):
+    """Wrap lane-tensor refs in LaneView. SMEM refs, the raw_u0 HBM input
+    (full-stream mode's [G,T,nu,*ts] warm start, DMA'd in-kernel), the
+    n_raw_out trailing outputs (the streaming HBM buffers), and the
+    n_scratch trailing scratch refs pass through untouched."""
     n_smem_cost = {"smem": 2, "diag": 2, "callable": 1}.get(cost_mode, 0)
 
     def wrapped(*refs):
@@ -1256,7 +1606,9 @@ def _squeeze_io(kernel, cost_mode, n_raw_out=0, n_scratch=12):
         else:
             out.append(LaneView(refs[i])); i += 1  # C lanes
             out.append(LaneView(refs[i])); i += 1  # c lanes
-        # remaining lane refs: u0?, lb?, ub?, and the 5 lane outputs
+        if raw_u0:
+            out.append(refs[i]); i += 1  # u0 HBM buffer, raw
+        # remaining lane refs: u0?, lb?, ub?, and the lane outputs
         n_tensor = len(refs) - i - n_scratch - n_raw_out
         for _ in range(n_tensor):
             out.append(LaneView(refs[i])); i += 1

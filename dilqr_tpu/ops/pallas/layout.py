@@ -11,7 +11,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BT = 1024  # examples per grid cell: 8 sublanes x 128 lanes
+BT = 1024  # examples per BASE tile: 8 sublanes x 128 lanes
+
+# The megakernel may WIDEN the lane axis to 128*W (W in {2,4,8}) when the
+# batch has multiple base tiles and VMEM allows: every [8, 128*W] op is W
+# independent vregs the Mosaic scheduler can interleave, hiding the
+# per-vreg latency that dominates the otherwise single-vreg dependency
+# chains (measured round 3; see ilqr_fused._pick_lanes_width).
 
 
 def pad_batch(x, B, Bp):
@@ -32,16 +38,17 @@ def pad_cost_identity(C_p, T, B, Bp, n):
     return C_p.at[:, B:].set(eye)
 
 
-def to_lanes(x, T, Bp):
-    """[T, Bp, *small] -> [T, *small, Bp//BT, 8, 128] (batch on lanes)."""
+def to_lanes(x, T, Bp, lw=128):
+    """[T, Bp, *small] -> [T, *small, G, 8, lw] (batch on lanes) with
+    G = Bp // (8 * lw)."""
     small = x.shape[2:]
     perm = (0,) + tuple(range(2, x.ndim)) + (1,)
     x = x.transpose(perm)  # [T, *small, Bp]
-    return x.reshape((T,) + small + (Bp // BT, 8, 128))
+    return x.reshape((T,) + small + (Bp // (8 * lw), 8, lw))
 
 
 def from_lanes(x, T, B):
-    """[T, *small, G, 8, 128] -> [T, B, *small]."""
+    """[T, *small, G, 8, lw] -> [T, B, *small]."""
     small = x.shape[1:-3]
     x = x.reshape((T,) + small + (-1,))
     perm = (0, x.ndim - 1) + tuple(range(1, x.ndim - 1))
@@ -58,13 +65,13 @@ def expand_bound(val, T, B, Bp, nu, sign, dtype=jnp.float32):
     return pad_batch(jnp.broadcast_to(val, (T, B, nu)), B, Bp)
 
 
-def bspec(T, small):
-    """BlockSpec for a lanes array [*lead, *small, G, 8, 128] blocked to
+def bspec(T, small, lw=128):
+    """BlockSpec for a lanes array [*lead, *small, G, 8, lw] blocked to
     batch group g. T=None means no leading time dim."""
     lead = () if T is None else (T,)
     m = len(lead) + len(small)
     return pl.BlockSpec(
-        lead + small + (1, 8, 128),
+        lead + small + (1, 8, lw),
         lambda g, m=m: (0,) * m + (g, 0, 0),
         memory_space=pltpu.VMEM,
     )

@@ -1,0 +1,97 @@
+"""Full-streaming megakernel mode ("full"): every per-timestep array
+(trajectory, gains, trial, best) double-buffers through HBM, so VMEM
+residency is O(1) in the horizon and ANY T fits -- the reference caps
+horizons only by patience (rocket.py:1108 runs T=40; nothing stops
+T=100). Parity must be BITWISE vs the all-VMEM kernel: streaming only
+relocates storage."""
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dilqr_tpu.models import pendulum
+from dilqr_tpu.ops.pallas.ilqr_fused import (
+    _full_stream_ok, _pick_lanes_width, _vmem_bytes, ilqr_fused,
+    use_stream_k, VMEM_SCRATCH_LIMIT,
+)
+from dilqr_tpu.types import ILQRConfig
+
+F32 = jnp.float32
+
+
+def _problem(B, T, lqr_iter=3):
+    dyn = pendulum.make()
+    params = pendulum.default_params()
+    q, p = pendulum.get_true_obj()
+    rng = np.random.RandomState(0)
+    th = rng.uniform(-2, 2, B).astype(np.float32)
+    x_init = jnp.stack(
+        [jnp.cos(jnp.asarray(th)), jnp.sin(jnp.asarray(th)), jnp.zeros(B)], 1
+    )
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=lqr_iter, eps=0.0,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    return cfg, dyn, params, x_init, (jnp.diag(q), p)
+
+
+@pytest.mark.parametrize("warm", [False, True])
+@pytest.mark.parametrize("T", [1, 6])
+def test_full_stream_bitwise(T, warm):
+    B = 1024
+    cfg, dyn, params, x_init, cost_small = _problem(B, T)
+    rng = np.random.RandomState(1)
+    u0 = (jnp.asarray(0.1 * rng.randn(T, B, 1).astype(np.float32))
+          if warm else None)
+    outs = {}
+    for mode in ("none", "full"):
+        x, u, costs, du, it = ilqr_fused(
+            cfg, dyn, params, x_init, None, None, u0,
+            u_lower=dyn.lower, u_upper=dyn.upper, cost_small=cost_small,
+            interpret=True, force_stream_k=mode,
+        )
+        outs[mode] = tuple(np.asarray(a) for a in (x, u, costs, du))
+    for a, b, name in zip(outs["none"], outs["full"],
+                          ("x", "u", "costs", "du")):
+        np.testing.assert_array_equal(a, b, err_msg=f"{name} (warm={warm})")
+
+
+def test_full_stream_vs_stream_k_bitwise():
+    """The three storage strategies are the same algorithm: K-streaming
+    and full-streaming agree bitwise."""
+    B, T = 1024, 7
+    cfg, dyn, params, x_init, cost_small = _problem(B, T)
+    outs = {}
+    for mode in ("k", "full"):
+        x, u, costs, du, it = ilqr_fused(
+            cfg, dyn, params, x_init, None, None, None,
+            u_lower=dyn.lower, u_upper=dyn.upper, cost_small=cost_small,
+            interpret=True, force_stream_k=mode,
+        )
+        outs[mode] = tuple(np.asarray(a) for a in (x, u, costs, du))
+    for a, b in zip(outs["k"], outs["full"]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_long_horizon_routes_full():
+    """rocket-sized T=100 problems bust even stream-K's VMEM budget and
+    must route to full streaming (previously: XLA fallback, ~20x slower)."""
+    cfg = ILQRConfig(n_state=13, n_ctrl=3, T=100)
+    extras = dict(lin_dx=False, lanes_cost=False, uz=False, warm=True,
+                  dyn_bounds=False)
+    assert _vmem_bytes(cfg, stream_k=True, **extras) > VMEM_SCRATCH_LIMIT
+    assert _full_stream_ok(extras)
+    w, mode = _pick_lanes_width(cfg, extras, 1)
+    assert mode == "full"
+    assert _vmem_bytes(cfg, full_stream=True, bt=1024 * w,
+                       **extras) <= VMEM_SCRATCH_LIMIT
+    # T=400: still fits (O(1) residency in T)
+    _, mode = _pick_lanes_width(
+        dataclasses.replace(cfg, T=400), extras, 1)
+    assert mode == "full"
+    # whole-T lane inputs are outside the supported subset -> not "full"
+    for k in ("lin_dx", "lanes_cost", "uz", "dyn_bounds"):
+        assert not _full_stream_ok({**extras, k: True})
