@@ -52,15 +52,37 @@ def lqr_solve_linear(
     r: jax.Array,
     u_zero_I: Optional[jax.Array] = None,
     backend: str = "auto",
+    parallel: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Solve the auxiliary LQR: argmin sum 0.5 d tau^T C d tau - r^T d tau
     s.t. d x_{t+1} = F_t d tau_t, d x_0 = 0, d u = 0 on u_zero_I.
 
     Linear in r. Returns (dx [T,B,nx], du [T,B,nu]). Mirrors the values of
     the reference's nested 1-iteration MPC call (lqr_step.py:327-340).
+
+    parallel: O(log T)-depth associative-scan Riccati + rollout
+    (ops/parallel_riccati.py, with the u_zero_I free-subspace masking) --
+    this solve runs once per IFT GMRES iteration, so large-T backward
+    passes benefit the most. Exact (same minimizer); f32 parity with the
+    sequential scan is ~roundoff.
     """
     T, B = C.shape[0], C.shape[1]
     nu = n_ctrl
+
+    if parallel and not (
+        n_state > 3
+        and C.dtype == jnp.float64
+        and jax.default_backend() == "tpu"  # no f64 batched LU (riccati.py)
+    ):
+        from ..ops.parallel_riccati import plqr_solve
+
+        res = plqr_solve(
+            n_state, nu, C, -r, F, None,
+            jnp.zeros((B, n_state), C.dtype), u_zero_I,
+        )
+        du = res.u if u_zero_I is None else jnp.where(u_zero_I, 0.0, res.u)
+        return res.x, du
+
     ric = lqr_backward(
         n_state,
         n_ctrl,
@@ -95,12 +117,36 @@ def lqr_solve_linear(
     return dx, du
 
 
-def _adjoint_scan(n_state, C, F, x, u, cvec):
+def _adjoint_scan(n_state, C, F, x, u, cvec, parallel: bool = False):
     """Reverse recursion lam_t = C_xx x_t + C_xu u_t + cvec_t[:nx]
-    + F_x_t^T lam_{t+1} (reference lqr_step.py:355-368)."""
+    + F_x_t^T lam_{t+1} (reference lqr_step.py:355-368).
+
+    parallel: the recursion is an affine-map suffix product
+    lam_t = (f_t o f_{t+1} o ... o f_{T-1})(0) with f_t(y) = M_t y + b_t,
+    M_t = F_x_t^T -- an associative scan of O(log T) depth."""
     nx = n_state
     Fx = btr(F[:, :, :, :nx])  # [T-1, B, nx, nx]
     Fx_pad = jnp.concatenate([Fx, jnp.zeros_like(Fx[:1])], axis=0)
+
+    if parallel:
+        b = (
+            jnp.einsum("tbij,tbj->tbi", C[:, :, :nx, :nx], x)
+            + jnp.einsum("tbij,tbj->tbi", C[:, :, :nx, nx:], u)
+            + cvec[:, :, :nx]
+        )
+
+        def comb(e1, e2):
+            # e1 earlier in time, e2 = accumulated future segment
+            M1, b1 = e1
+            M2, b2 = e2
+            return jnp.einsum("tbij,tbjk->tbik", M1, M2), (
+                jnp.einsum("tbij,tbj->tbi", M1, b2) + b1
+            )
+
+        _, lams = lax.associative_scan(
+            lambda a, b_: comb(b_, a), (Fx_pad, b), reverse=True, axis=0
+        )
+        return lams
 
     def step(prev_lam, inp):
         Ct, xt, ut, ct, Fxt = inp
@@ -135,6 +181,7 @@ def kkt_vjp(
     u_zero_I: Optional[jax.Array] = None,
     with_f: bool = True,
     backend: str = "auto",
+    parallel: bool = False,
 ) -> KKTGrads:
     """Full module-KKT VJP (reference lqr_step.py:311-407).
 
@@ -142,9 +189,15 @@ def kkt_vjp(
     u_zero_I: frozen active set (reference freezes the box active set as
     |u-l|<=1e-8 | |u-ub|<=1e-8, lqr_step.py:322-326 -- computed by the
     caller). Linear in (g_x, g_u).
+
+    parallel (cfg.riccati_parallel): auxiliary solve AND both adjoint
+    recursions as O(log T)-depth associative scans -- the whole VJP,
+    which the IFT mode re-invokes every GMRES iteration, loses its
+    sequential-in-T depth.
     """
     r = jnp.concatenate([g_x, g_u], axis=-1)
-    dx, du = lqr_solve_linear(n_state, n_ctrl, C, F, r, u_zero_I, backend=backend)
+    dx, du = lqr_solve_linear(n_state, n_ctrl, C, F, r, u_zero_I,
+                              backend=backend, parallel=parallel)
 
     dtau = jnp.concatenate([dx, du], axis=-1)
     tau = jnp.concatenate([x, u], axis=-1)
@@ -152,8 +205,8 @@ def kkt_vjp(
     dC = -0.5 * (bger(dtau, tau) + bger(tau, dtau))
     dc = -dtau
 
-    lams = _adjoint_scan(n_state, C, F, x, u, c)
-    dlams = _adjoint_scan(n_state, C, F, dx, du, -r)
+    lams = _adjoint_scan(n_state, C, F, x, u, c, parallel=parallel)
+    dlams = _adjoint_scan(n_state, C, F, dx, du, -r, parallel=parallel)
 
     dF = -(bger(dlams[1:], tau[:-1]) + bger(lams[1:], dtau[:-1]))
     df = -dlams[1:] if with_f else jnp.zeros_like(dlams[1:])

@@ -225,7 +225,7 @@ def solve_with_grad(
         def sT(w):
             return kkt_vjp(
                 nx, nu, C, c, F, x, u, w[0], w[1], u_zero_I=I, with_f=True,
-                backend=cfg.backend,
+                backend=cfg.backend, parallel=cfg.riccati_parallel,
             )
 
         if cfg.backward_mode is BackwardMode.IFT and not lin:

@@ -78,9 +78,27 @@ def _pad_dynamics(T, B, nx, nu, F, f, dtype):
     return F_pad, f_pad
 
 
-def _eliminated_steps(n_state, n_ctrl, C, c, F, f):
+def _masked_H(Cuu, free):
+    """Free-subspace Hessian: zero frozen rows/columns, unit frozen
+    diagonal. Masked right-hand sides have zero frozen rows, so the
+    solve returns exactly the free-block solution with zeros on frozen
+    coords -- the same values as the sequential path's 1e-8-regularized
+    masked Hessian (ops/riccati._zero_constrained_gains)."""
+    nu = Cuu.shape[-1]
+    eyeu = jnp.eye(nu, dtype=Cuu.dtype)
+    fo = free[..., :, None] * free[..., None, :]
+    return Cuu * fo + eyeu * (1.0 - free)[..., None, :]
+
+
+def _eliminated_steps(n_state, n_ctrl, C, c, F, f, u_zero_I=None):
     """Per-step eliminated elements (A, S, Q, d, l) [T,B,...]; the t = T-1
-    element has A = 0, S = 0, d = 0 (no dynamics: V_{T-1} = cost alone)."""
+    element has A = 0, S = 0, d = 0 (no dynamics: V_{T-1} = cost alone).
+
+    u_zero_I [T,B,nu] (1/True = frozen): zero-control equality
+    constraints (reference lqr_step.py:99-127) -- the per-step control
+    elimination simply runs on the free subspace (masked Hessian + masked
+    right-hand sides); the combine itself acts on the state space only
+    and is unchanged."""
     T, B = C.shape[0], C.shape[1]
     nx, nu = n_state, n_ctrl
     dtype = C.dtype
@@ -91,8 +109,18 @@ def _eliminated_steps(n_state, n_ctrl, C, c, F, f):
     cx = c[..., :nx]
     cu = c[..., nx:]
 
-    RiCxuT = solve_psd(Cuu, btr(Cxu))            # R^{-1} Cxu^T [T,B,nu,nx]
-    Ricu = solve_psd(Cuu, cu)                    # R^{-1} c_u   [T,B,nu]
+    if u_zero_I is None:
+        H = Cuu
+        CxuT = btr(Cxu)
+        cu_m = cu
+    else:
+        free = 1.0 - u_zero_I.astype(dtype)
+        H = _masked_H(Cuu, free)
+        CxuT = free[..., :, None] * btr(Cxu)
+        cu_m = free * cu
+
+    RiCxuT = solve_psd(H, CxuT)                  # R^{-1} Cxu^T [T,B,nu,nx]
+    Ricu = solve_psd(H, cu_m)                    # R^{-1} c_u   [T,B,nu]
     Q = Cxx - bmm(Cxu, RiCxuT)
     l = cx - bmv(Cxu, Ricu)
 
@@ -102,7 +130,8 @@ def _eliminated_steps(n_state, n_ctrl, C, c, F, f):
 
     A = Fx - bmm(Fu, RiCxuT)
     d = f_pad - bmv(Fu, Ricu)
-    S = bmm(Fu, solve_psd(Cuu, btr(Fu)))
+    FuT = btr(Fu) if u_zero_I is None else free[..., :, None] * btr(Fu)
+    S = bmm(Fu, solve_psd(H, FuT))
     # t = T-1: no dynamics (the F slab is already zero, making A, S, d zero
     # there automatically)
     return A, S, Q, d, l
@@ -154,15 +183,18 @@ def plqr_backward(
     c: jax.Array,           # [T, B, n]
     F: Optional[jax.Array],  # [T-1, B, nx, n]
     f: Optional[jax.Array],  # [T-1, B, nx]
+    u_zero_I: Optional[jax.Array] = None,  # [T, B, nu] frozen mask
 ) -> Tuple[jax.Array, jax.Array]:
-    """Unconstrained LQR gains via associative scan. Returns
-    (K [T,B,nu,nx], k [T,B,nu]) matching ops/riccati.lqr_backward's
-    unconstrained path."""
+    """LQR gains via associative scan -- unconstrained, or with the
+    u_zero_I zero-control equality constraints (free-subspace
+    elimination; frozen coords get zero gain rows, matching
+    ops/riccati._zero_constrained_gains). Returns (K [T,B,nu,nx],
+    k [T,B,nu]) matching ops/riccati.lqr_backward."""
     T, B = C.shape[0], C.shape[1]
     nx, nu = n_state, n_ctrl
     dtype = C.dtype
 
-    elems = _eliminated_steps(n_state, n_ctrl, C, c, F, f)
+    elems = _eliminated_steps(n_state, n_ctrl, C, c, F, f, u_zero_I)
     # reverse=True hands the combine (later, earlier) operands; _combine
     # takes (earlier, accumulated-future)
     combined = lax.associative_scan(
@@ -185,6 +217,11 @@ def plqr_backward(
     Quu = Qt[..., nx:, nx:]
     Qux = Qt[..., nx:, :nx]
     qu = qt[..., nx:]
+    if u_zero_I is not None:
+        free = 1.0 - u_zero_I.astype(dtype)
+        Quu = _masked_H(Quu, free)
+        Qux = free[..., :, None] * Qux
+        qu = free * qu
     sol = solve_psd(Quu, jnp.concatenate([Qux, qu[..., None]], -1))
     return -sol[..., :-1], -sol[..., -1]
 
@@ -233,9 +270,11 @@ def plqr_solve(
     F: Optional[jax.Array],
     f: Optional[jax.Array],
     x_init: jax.Array,
+    u_zero_I: Optional[jax.Array] = None,
 ) -> PLQRResult:
-    """Full unconstrained LQR solve (backward gains + closed-loop rollout),
-    both as associative scans: O(log T) depth end to end."""
-    K, k = plqr_backward(n_state, n_ctrl, C, c, F, f)
+    """Full LQR solve (backward gains + closed-loop rollout), both as
+    associative scans: O(log T) depth end to end. With u_zero_I, frozen
+    coords have zero gain rows so the rollout keeps them at zero."""
+    K, k = plqr_backward(n_state, n_ctrl, C, c, F, f, u_zero_I)
     x, u = plqr_rollout(n_state, x_init, K, k, F, f)
     return PLQRResult(K, k, x, u)

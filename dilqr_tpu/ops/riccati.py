@@ -105,15 +105,18 @@ def lqr_backward(
     nx, nu = n_state, n_ctrl
     boxed = u_lower is not None
 
-    if parallel and not boxed and u_zero_I is None:
+    if parallel and not boxed:
         # associative-scan Riccati: O(log T) depth, exact for the
-        # unconstrained recursion (ops/parallel_riccati.py). Its n > 3
-        # combine uses batched jnp.linalg.solve, which has no f64 batched
-        # LU on TPU -- that combination falls back to the sequential scan
-        # rather than failing at compile time. The gate keys on
-        # jax.default_backend() (trace time cannot see the execution
-        # device), so axon-pinned sessions running f64 n>3 on CPU devices
-        # conservatively take the sequential path too.
+        # unconstrained recursion and for u_zero_I zero-control equality
+        # constraints (free-subspace elimination, ops/parallel_riccati.py)
+        # -- e.g. the module-KKT backward's auxiliary solve, which runs
+        # once per IFT GMRES iteration. Its n > 3 combine uses batched
+        # jnp.linalg.solve, which has no f64 batched LU on TPU -- that
+        # combination falls back to the sequential scan rather than
+        # failing at compile time. The gate keys on jax.default_backend()
+        # (trace time cannot see the execution device), so axon-pinned
+        # sessions running f64 n>3 on CPU devices conservatively take the
+        # sequential path too.
         plqr_ok = not (
             nx > 3
             and C.dtype == jnp.float64
@@ -122,7 +125,7 @@ def lqr_backward(
         if plqr_ok:
             from .parallel_riccati import plqr_backward
 
-            K, k = plqr_backward(nx, nu, C, c, F, f)
+            K, k = plqr_backward(nx, nu, C, c, F, f, u_zero_I)
             return RiccatiResult(K, k, jnp.int32(0))
 
     if backend != "xla" and f is None:

@@ -87,3 +87,86 @@ def test_riccati_parallel_solve_end_to_end():
     np.testing.assert_allclose(
         np.asarray(r_par.costs), np.asarray(r_seq.costs), atol=1e-10
     )
+
+
+@pytest.mark.parametrize("shape", [(128, 2, 4, 1), (64, 3, 3, 2)])
+def test_parallel_masked_matches_sequential_f64(shape):
+    """u_zero_I free-subspace masking in the associative-scan Riccati
+    (the KKT backward's auxiliary solve, reference lqr_step.py:99-127 /
+    322-340) vs the sequential masked scan."""
+    T, B, nx, nu = shape
+    C, c, F, f, x0 = _problem(T, B, nx, nu, seed=3)
+    rng = np.random.RandomState(7)
+    uz = jnp.asarray(rng.rand(T, B, nu) < 0.3)
+    ref = lqr_backward(nx, nu, C, c, F, f, jnp.zeros((T, B, nu)),
+                       u_zero_I=uz, backend="xla")
+    K, k = plqr_backward(nx, nu, C, c, F, f, u_zero_I=uz)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(ref.K), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(ref.k), atol=1e-10)
+    # frozen rows carry exactly zero gain
+    uzn = np.asarray(uz)
+    assert np.all(np.asarray(K)[uzn] == 0.0)
+    assert np.all(np.asarray(k)[uzn] == 0.0)
+
+
+def test_kkt_vjp_parallel_matches_sequential():
+    """kkt_vjp(parallel=True): auxiliary solve + both adjoint scans as
+    associative scans must reproduce the sequential VJP (f64, active-set
+    masked, T=64 LinDx)."""
+    from dilqr_tpu.diff.kkt import kkt_vjp
+
+    T, B, nx, nu = 64, 2, 3, 2
+    C, c, F, f, x0 = _problem(T, B, nx, nu, seed=5)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(T, B, nx))
+    u = jnp.asarray(rng.randn(T, B, nu))
+    g_x = jnp.asarray(rng.randn(T, B, nx))
+    g_u = jnp.asarray(rng.randn(T, B, nu))
+    uz = jnp.asarray(rng.rand(T, B, nu) < 0.25)
+    a = kkt_vjp(nx, nu, C, c, F, x, u, g_x, g_u, u_zero_I=uz,
+                backend="xla", parallel=False)
+    b = kkt_vjp(nx, nu, C, c, F, x, u, g_x, g_u, u_zero_I=uz,
+                backend="xla", parallel=True)
+    for ga, gb, name in zip(a, b, a._fields):
+        np.testing.assert_allclose(
+            np.asarray(gb), np.asarray(ga), atol=1e-9, err_msg=name
+        )
+
+
+def test_ift_grad_riccati_parallel_end_to_end():
+    """cfg.riccati_parallel threads into the IFT backward's per-GMRES-
+    iteration auxiliary solves; gradients must match the sequential
+    backward (f64, box-constrained pendulum)."""
+    import dataclasses
+
+    from dilqr_tpu.core.solver import solve
+    from dilqr_tpu.models import pendulum
+    from dilqr_tpu.types import BackwardMode, ILQRConfig, QuadCost
+
+    dyn = pendulum.make()
+    params = pendulum.default_params().astype(jnp.float64)
+    q, p = pendulum.get_true_obj()
+    B, T = 3, 12
+    rng = np.random.RandomState(0)
+    th = rng.uniform(-1.5, 1.5, B)
+    x0 = jnp.stack(
+        [jnp.cos(jnp.asarray(th)), jnp.sin(jnp.asarray(th)), jnp.zeros(B)], 1
+    ).astype(jnp.float64)
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=12, eps=1e-6,
+        exit_unconverged=False, detach_unconverged=False,
+        backward_mode=BackwardMode.IFT, backend="xla",
+    )
+
+    def loss(cfg_, th_):
+        r = solve(cfg_, x0, QuadCost(jnp.diag(q), p), dyn, params=th_,
+                  u_lower=-2.0, u_upper=2.0)
+        return jnp.mean(r.u ** 2)
+
+    g_seq = jax.grad(lambda t: loss(cfg, t))(params)
+    g_par = jax.grad(
+        lambda t: loss(dataclasses.replace(cfg, riccati_parallel=True), t)
+    )(params)
+    np.testing.assert_allclose(
+        np.asarray(g_par), np.asarray(g_seq), rtol=1e-8, atol=1e-10
+    )
