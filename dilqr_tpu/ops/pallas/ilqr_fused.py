@@ -1204,6 +1204,200 @@ def _ilqr_kernel(
     it_ref[...] = jnp.full(ts, 1.0, f32) * flags_ref[2].astype(f32)
 
 
+# trace-count provenance (tests assert which dispatch path ran)
+DISPATCH_STATS = {"fused": 0, "vmap_merged": 0, "vmap_mapped": 0}
+
+
+def _is_batch_tracer(x):
+    # jax 0.9 no longer re-exports BatchTracer from the public
+    # jax.interpreters.batching shim; fall back to a name check so a
+    # future relocation degrades to "no vmap routing", not an ImportError
+    try:
+        from jax._src.interpreters.batching import BatchTracer
+    except ImportError:  # pragma: no cover
+        return type(x).__name__ == "BatchTracer"
+    return isinstance(x, BatchTracer)
+
+
+def _maybe_vmap_route(cfg, dyn, params, x_init, C, c, u_init, u_lower,
+                      u_upper, u_zero_I, delta_u, cost_small,
+                      cost_callable, interpret, force_stream_k,
+                      lanes_width):
+    """jax.vmap support for the fused solve (the kernel itself has no
+    batching rule). Batch-traced array args become the operands of a
+    custom_vmap entry whose rule FOLDS the mapped axis into the example
+    batch -- candidate-major, B' = S*B, one kernel launch, full lane
+    utilization. Batched compact costs are promoted to per-example lane
+    costs (a candidate sweep IS a per-example-cost batch); everything
+    example-invariant (unbatched) is tiled.
+
+    Batched per-call SMEM scalars -- dynamics params, callable-cost
+    params -- cannot vary within one kernel launch; those sweeps run as
+    lax.map over per-slice kernel launches instead (still fused, one
+    launch per candidate).
+
+    Returns None when no argument is batch-traced (the plain call).
+    Reported n_iter of a merged sweep is the max over ALL candidates
+    (one fused solve; the per-candidate count is not recoverable), and
+    at eps > 0 the merged candidates share the kernel's per-tile
+    stopping rule instead of stopping per candidate -- per-example
+    accepted cost stays equal-or-better (test_fused_mixed_convergence),
+    matching the documented per-tile deviation."""
+    lin_dx = isinstance(dyn, LinDx)
+    vals = {
+        "params": None if lin_dx else params, "x_init": x_init,
+        "C": C, "c": c, "u_init": u_init,
+        "u_lower": u_lower, "u_upper": u_upper, "u_zero_I": u_zero_I,
+    }
+    if lin_dx:
+        vals["F"], vals["f"] = dyn.F, dyn.f
+    has_cs = cost_small is not None
+    if has_cs:
+        vals["Cs"], vals["cs"] = cost_small
+    cfn = None
+    if cost_callable is not None:
+        cfn, cp0 = cost_callable
+        if cp0 is not None and not (
+            isinstance(cp0, (tuple, list)) and len(cp0) == 0
+        ):
+            vals["cp"] = cp0
+    bnames = [k for k, v in vals.items()
+              if v is not None and _is_batch_tracer(v)]
+    if not bnames:
+        return None
+
+    from jax import custom_batching
+
+    T2, nu2 = cfg.T, cfg.n_ctrl
+    fixed = {k: v for k, v in vals.items() if k not in bnames}
+
+    def core(v):
+        dyn2 = LinDx(v.get("F"), v.get("f")) if lin_dx else dyn
+        cs2 = ((v["Cs"], v["cs"])
+               if ("Cs" in v and v.get("Cs") is not None) else None)
+        cc2 = None
+        if cost_callable is not None:
+            cc2 = (cfn, v.get("cp", cost_callable[1]))
+        # NOT _novmap=True: with nested vmaps the merged/mapped call can
+        # still carry an outer batch level -- the value-based detection
+        # re-routes it and terminates once no batch tracers remain
+        return ilqr_fused(
+            cfg, dyn2, v.get("params"), v["x_init"], v.get("C"),
+            v.get("c"), v.get("u_init"), v.get("u_lower"),
+            v.get("u_upper"), v.get("u_zero_I"), delta_u, cs2, cc2,
+            interpret, force_stream_k, lanes_width,
+        )
+
+    @custom_batching.custom_vmap
+    def entry(*bargs):
+        return core({**fixed, **dict(zip(bnames, bargs))})
+
+    @entry.def_vmap
+    def _rule(axis_size, in_batched, *bargs):
+        S = axis_size
+        b = {k: (a, ib)
+             for k, a, ib in zip(bnames, bargs, in_batched)}
+
+        def val(k):
+            if k in b:
+                return b[k]
+            return fixed.get(k), False
+
+        if any(k in b and b[k][1] for k in ("params", "cp")):
+            # per-call SMEM scalars differ per candidate: one launch each
+            DISPATCH_STATS["vmap_mapped"] += 1
+            mapped = [k for k in bnames if b[k][1]]
+
+            def one(sl):
+                vv = {**fixed,
+                      **{k: a for k, (a, ib) in b.items() if not ib},
+                      **dict(zip(mapped, sl))}
+                return core(vv)
+
+            outs = jax.lax.map(one, tuple(b[k][0] for k in mapped))
+            return outs, (True, True, True, True, True)
+
+        DISPATCH_STATS["vmap_merged"] += 1
+
+        def merge(a, axis):
+            # [S, ..] with the example-batch at `axis` of the INNER
+            # layout -> candidate-major merged batch at `axis`
+            a = jnp.moveaxis(a, 0, axis)
+            sh = a.shape
+            return a.reshape(sh[:axis] + (S * sh[axis + 1],)
+                             + sh[axis + 2:])
+
+        def tile(a, axis):
+            return merge(jnp.broadcast_to(a[None], (S,) + a.shape), axis)
+
+        x0a, x0b = val("x_init")
+        B0 = x0a.shape[1] if x0b else x0a.shape[0]
+        vv = {}
+        for k in ("params", "cp"):
+            a, _ = val(k)
+            if a is not None:
+                vv[k] = a
+        vv["x_init"] = merge(x0a, 0) if x0b else tile(x0a, 0)
+        for k in ("C", "c", "u_init", "u_zero_I", "F", "f"):
+            a, ib = val(k)
+            if a is not None:
+                vv[k] = merge(a, 1) if ib else tile(a, 1)
+
+        Csa, Csb = val("Cs")
+        csa, csb = val("cs")
+        if Csa is not None:
+            if Csb or csb:
+                # batched compact cost -> per-example lane cost
+                def norm(a, ib, nd_c):
+                    if ib:
+                        if a.ndim == nd_c + 2:   # [S, T, ...]
+                            return a
+                        return jnp.broadcast_to(
+                            a[:, None], (S, T2) + a.shape[1:])
+                    aT = (a if a.ndim == nd_c + 1
+                          else jnp.broadcast_to(a[None], (T2,) + a.shape))
+                    return jnp.broadcast_to(aT[None], (S,) + aT.shape)
+
+                CsT = norm(Csa, Csb, 2)
+                csT = norm(csa, csb, 1)
+                vv["C"] = merge(jnp.broadcast_to(
+                    CsT[:, :, None], (S, T2, B0) + CsT.shape[2:]), 1)
+                vv["c"] = merge(jnp.broadcast_to(
+                    csT[:, :, None], (S, T2, B0) + csT.shape[2:]), 1)
+            else:
+                vv["Cs"], vv["cs"] = Csa, csa
+
+        for k in ("u_lower", "u_upper"):
+            a, ib = val(k)
+            if a is None:
+                continue
+            if ib:
+                if a.ndim == 1:
+                    a4 = a[:, None, None, None]
+                elif a.ndim == 2:
+                    a4 = a[:, None, None, :]
+                else:
+                    a4 = a
+                vv[k] = merge(
+                    jnp.broadcast_to(a4, (S, T2, B0, nu2)), 1)
+            elif getattr(a, "ndim", 0) == 3:
+                vv[k] = tile(a, 1)  # per-example bounds need S copies
+            else:
+                vv[k] = a           # scalar/[nu]: broadcasts as-is
+
+        x, u, costs, du, n_iter = core(vv)
+
+        def un(a, axis):
+            sh = a.shape
+            a = a.reshape(sh[:axis] + (S, B0) + sh[axis + 1:])
+            return jnp.moveaxis(a, axis, 0)
+
+        return (un(x, 1), un(u, 1), un(costs, 0), un(du, 0), n_iter), (
+            True, True, True, True, False)
+
+    return entry(*[vals[k] for k in bnames])
+
+
 def ilqr_fused(
     cfg: ILQRConfig,
     dyn: Dynamics,
@@ -1222,11 +1416,26 @@ def ilqr_fused(
     interpret: bool = False,
     force_stream_k: Optional[bool] = None,  # tests only; None = auto
     lanes_width: Optional[int] = None,      # tests only; None = auto
+    _novmap: bool = False,
 ):
     """Run the fused whole-solve kernel. ``dyn`` is a Dynamics (nonlinear
     iLQR) or a LinDx (time-varying affine LQR; F/f ride in as lane
     inputs). Returns time-major (x [T,B,nx], u [T,B,nu], costs [B],
-    full_du_norm [B], n_iter [])."""
+    full_du_norm [B], n_iter []).
+
+    jax.vmap over the solve is supported: batch-traced array arguments
+    route through a custom_vmap rule (_maybe_vmap_route) that folds the
+    mapped axis into the lane batch -- one kernel launch for the whole
+    sweep -- instead of silently losing the fused path."""
+    if not _novmap:
+        routed = _maybe_vmap_route(
+            cfg, dyn, params, x_init, C, c, u_init, u_lower, u_upper,
+            u_zero_I, delta_u, cost_small, cost_callable, interpret,
+            force_stream_k, lanes_width,
+        )
+        if routed is not None:
+            return routed
+    DISPATCH_STATS["fused"] += 1
     T, B = cfg.T, x_init.shape[0]
     nx, nu = cfg.n_state, cfg.n_ctrl
     n = nx + nu

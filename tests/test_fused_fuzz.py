@@ -107,9 +107,8 @@ def test_array_closure_env_falls_back():
 
 
 def test_vmap_over_solve_xla_path():
-    """jax.vmap over solve works on the XLA path (candidate sweeps); the
-    Pallas kernels have no batching rule -- fold extra axes into the batch
-    or pass backend="xla" when vmapping."""
+    """jax.vmap over solve on the explicit XLA path (the fused path has
+    its own custom_vmap routing -- test_vmap_fused.py)."""
     from dilqr_tpu.models import pendulum
 
     dyn = pendulum.make()
