@@ -154,9 +154,20 @@ def ilqr_loop(
 
     use_fused = False
     if cfg.backend != "xla":
-        from ..ops.pallas.ilqr_fused import (cost_lane_compatible,
+        from ..ops.pallas.ilqr_fused import (_flatten_pytree_params,
+                                             cost_lane_compatible,
                                              fused_supported, ilqr_fused,
                                              lane_compatible)
+
+        # pytree dynamics params (NNDynamics weight lists) flatten into
+        # the kernel's SMEM scalar vector; the step sees the scalar list
+        # (models/nn_dynamics.py step_scalars). The XLA path below keeps
+        # the original pytree.
+        kparams = params
+        if not isinstance(dyn, LinDx):
+            flat = _flatten_pytree_params(params)
+            if flat is not None:
+                kparams = flat
 
         quad = isinstance(cost, QuadCost)
         cost_callable = None
@@ -169,13 +180,13 @@ def ilqr_loop(
                 cost_callable = (cfn, None if empty else cin)
 
         use_fused = fused_supported(
-            cfg, cost, dyn, params, u_zero_I, delta_u, dtype,
+            cfg, cost, dyn, kparams, u_zero_I, delta_u, dtype,
             cost_small=cost_small, u_init_zero=u_init_zero,
             u_lower=u_lower, u_upper=u_upper,
             callable_cost=cost_callable is not None,
         ) and (
             isinstance(dyn, LinDx)  # F/f ride in as data; nothing to probe
-            or lane_compatible(dyn, params, cfg.n_state, cfg.n_ctrl)
+            or lane_compatible(dyn, kparams, cfg.n_state, cfg.n_ctrl)
         )
 
         def fused_call(interpret):
@@ -183,7 +194,7 @@ def ilqr_loop(
                 *ilqr_fused(
                     cfg,
                     dyn,
-                    params,
+                    kparams,
                     x_init,
                     cost.C if quad else None,
                     cost.c if quad else None,

@@ -354,6 +354,38 @@ def _is_flat_params(params) -> bool:
     return False
 
 
+MAX_PYTREE_PARAMS = 256  # SMEM scalars; larger MLPs keep the XLA path
+
+
+def _flatten_pytree_params(params):
+    """Flatten a pytree of arrays (e.g. NNDynamics [(W, b), ...]) to the
+    kernel's flat [P] SMEM vector (ravel_pytree order). Returns None when
+    params is already flat/None, is not an array pytree, or exceeds
+    MAX_PYTREE_PARAMS (each scalar is a separate SMEM read and the lane
+    MLP unrolls over them -- program text scales with P). A step that
+    cannot consume the scalar list (array math) is rejected downstream by
+    the lane_compatible probe, not here."""
+    if params is None or _is_flat_params(params):
+        return None
+    leaves = jax.tree_util.tree_leaves(params)
+    if not leaves or not all(
+        hasattr(l, "ndim") and hasattr(l, "dtype") for l in leaves
+    ):
+        return None
+    if sum(int(np_prod(l.shape)) for l in leaves) > MAX_PYTREE_PARAMS:
+        return None
+    from jax.flatten_util import ravel_pytree
+
+    flat, _ = ravel_pytree(params)
+    return flat
+
+
+def np_prod(shape):
+    import numpy as np
+
+    return int(np.prod(shape)) if len(shape) else 1
+
+
 # ---------------------------------------------------------------------------
 # small-matrix solves on lanes: A [m,m,8,128] (SPD), b [m,...,8,128]
 # ---------------------------------------------------------------------------
