@@ -97,6 +97,58 @@ def main():
     VPU_F32_PEAK = 3.9e12  # v5e: 8x128 lanes x 4 ALUs x ~0.94 GHz
     mfu = achieved / VPU_F32_PEAK
 
+    # profiler-derived MFU: same useful-FLOP model divided by the
+    # DEVICE-side kernel time from a jax.profiler trace (excludes host
+    # gaps/dispatch/tunnel RTT that the wall-clock number pays)
+    kernel_ms = mfu_kernel = None
+    try:
+        from dilqr_tpu.utils.profiling import device_kernel_ms
+
+        prof = device_kernel_ms(run, x_init, n=10)
+        kernel_ms = prof["matched_ms"] or prof["device_busy_ms"]
+        if kernel_ms:
+            mfu_kernel = (flops_per_solve * B) / (kernel_ms * 1e-3) \
+                / VPU_F32_PEAK
+    except Exception:
+        pass  # profiler unavailable on this runtime; wall-clock MFU only
+
+    # resident-path headline: inputs already in kernel lane layout, the
+    # jitted program is exactly ONE Pallas kernel (steady-state
+    # training/serving pipelines keep data resident on device)
+    from dilqr_tpu.ops.pallas.ilqr_fused import (_pick_lanes_width,
+                                                 ilqr_fused_lanes)
+    from dilqr_tpu.ops.pallas.layout import pad_batch
+
+    nparams = jnp.asarray(params, jnp.float32).reshape(1, -1)
+    Bp = -(-B // 1024) * 1024
+    xi_p = pad_batch(x_init[None].astype(jnp.float32), B, Bp)[0]
+    extras_r = dict(lin_dx=False, lanes_cost=False, uz=False, warm=False,
+                    dyn_bounds=False)
+    W_res, mode_r = _pick_lanes_width(cfg, extras_r, Bp // 1024)
+    W_res = W_res if mode_r == "none" else 1
+    lw = 128 * W_res
+    Gres = Bp // (1024 * W_res)
+    xi_lanes = xi_p.T.reshape(nx, Gres, 8, lw)
+    Cs = jnp.asarray(q, jnp.float32).reshape(1, n)
+    cs = jnp.asarray(p, jnp.float32).reshape(1, n)
+
+    @jax.jit
+    def run_resident(nparams, xi_lanes, Cs, cs):
+        return ilqr_fused_lanes(
+            cfg, dyn, nparams, xi_lanes, Cs, cs,
+            u_lower=float(dyn.lower), u_upper=float(dyn.upper),
+        )[2]  # best-cost lanes: forces execution, skips output transposes
+
+    outr = run_resident(nparams, xi_lanes, Cs, cs)
+    jax.block_until_ready(outr)
+    best_r = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [run_resident(nparams, xi_lanes, Cs, cs) for _ in range(20)]
+        jax.block_until_ready(outs)
+        best_r = min(best_r, (time.perf_counter() - t0) / 20)
+    resident_solves_per_s = B / best_r
+
     # secondary: larger batch amortizes the runtime's ~1 ms per-call floor
     # (probed: it attaches to the solve kernel regardless of program
     # structure on this tunneled runtime; see ilqr_fused_lanes docstring)
@@ -124,6 +176,13 @@ def main():
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / REF_SOLVES_PER_S, 2),
                 "vpu_mfu_pct": round(100 * mfu, 1),
+                "vpu_mfu_kernel_pct": (
+                    round(100 * mfu_kernel, 1) if mfu_kernel else None
+                ),
+                "kernel_ms_profiled": (
+                    round(kernel_ms, 3) if kernel_ms else None
+                ),
+                "resident_solves_per_s": round(resident_solves_per_s, 1),
                 "b16384_solves_per_s": round(B2 / best2, 1),
                 "mean_lqr_iters": round(mean_iters, 1),
             }

@@ -109,25 +109,81 @@ def _struct_key(v, keep):
     return ("id", type(v), id(v))
 
 
-def _cached_jit_solve(tag, cfg, quad, lin, cost, dynamics, kwargs):
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """jax.shard_map across jax versions (check_rep -> check_vma rename)."""
+    smap = getattr(jax, "shard_map", None)
+    if smap is None:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as smap
+    for kw in ({"check_vma": False}, {"check_rep": False}, {}):
+        try:
+            return smap(fn, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, **kw)
+        except TypeError:
+            continue
+    raise RuntimeError("no compatible jax.shard_map signature")
+
+
+def _cached_jit_solve(tag, cfg, quad, lin, cost, dynamics, kwargs,
+                      smap=None):
     """Shared executable cache for sharded_solve / multihost_solve:
     structural key (see _struct_key), bounded LRU, id-keyed components
-    kept alive with the entry. Returns the jitted fn."""
+    kept alive with the entry. Returns the jitted fn.
+
+    smap: optional (mesh, axis_name) -- wrap the solve in jax.shard_map
+    so each device runs the whole solver on its LOCAL batch shard. This
+    is REQUIRED for the fused Pallas path on a multi-chip mesh (GSPMD
+    cannot partition a custom call; without it the kernel would be
+    replicated with the full batch). Under shard_map the batch-global
+    stopping rule becomes per-shard -- the device-level analog of the
+    kernel's per-tile rule, same equal-or-better-per-example semantics
+    (tests/test_fused_mixed_convergence.py); n_iter is pmax'ed back to a
+    replicated global max."""
     keep: list = []
     key = (
         tag, cfg, quad, lin,
         None if quad else _struct_key(cost, keep),
         None if lin else _struct_key(dynamics, keep),
         tuple((k, _struct_key(v, keep)) for k, v in sorted(kwargs.items())),
+        None if smap is None else (
+            tuple(smap[0].devices.flat), smap[0].axis_names, smap[1]
+        ),
     )
     entry = _SOLVE_CACHE.get(key)
     if entry is None:
 
-        @jax.jit
-        def fn(x_init, cost_arrays, dyn_arrays, params):
+        def base(x_init, cost_arrays, dyn_arrays, params):
             c = QuadCost(*cost_arrays) if quad else cost
             d = LinDx(*dyn_arrays) if lin else dynamics
             return solve(cfg, x_init, c, d, params=params, **kwargs)
+
+        if smap is None:
+            fn = jax.jit(base)
+        else:
+            mesh_, ax = smap
+
+            def local(x_init, cost_arrays, dyn_arrays, params):
+                res = base(x_init, cost_arrays, dyn_arrays, params)
+                return res._replace(
+                    n_iter=jax.lax.pmax(res.n_iter, ax))
+
+            def wrapped(x_init, cost_arrays, dyn_arrays, params):
+                in_specs = (
+                    P(ax),
+                    jax.tree_util.tree_map(
+                        lambda a: P(ax) if a.ndim == 4 else P(),
+                        cost_arrays),
+                    jax.tree_util.tree_map(
+                        lambda a: P(None, ax), dyn_arrays),
+                    jax.tree_util.tree_map(lambda a: P(), params),
+                )
+                out = SolveResult(
+                    x=P(ax), u=P(ax), costs=P(ax), converged=P(ax),
+                    full_du_norm=P(ax), n_iter=P(),
+                )
+                return _shard_map(local, mesh_, in_specs, out)(
+                    x_init, cost_arrays, dyn_arrays, params)
+
+            fn = jax.jit(wrapped)
 
         entry = (fn, tuple(keep))
         _SOLVE_CACHE[key] = entry
@@ -169,6 +225,7 @@ def sharded_solve(
     dynamics,
     params=None,
     axis_name: str = "batch",
+    use_shard_map: Optional[bool] = None,
     **kwargs,
 ) -> SolveResult:
     """jit the batched solve with batch-sharded inputs/outputs.
@@ -176,7 +233,14 @@ def sharded_solve(
     Batch-major layout makes this a pure data-parallel program: XLA keeps
     every per-example tensor chip-local and inserts collectives only for
     the scalar convergence reductions inside the outer while_loop.
-    """
+
+    use_shard_map (default: auto -- on when the fused Pallas path can
+    engage on a multi-device mesh): run the solver per-device on local
+    shards via jax.shard_map. GSPMD cannot partition a Pallas custom
+    call, so this is what makes the fused kernel data-parallel on a real
+    multi-chip TPU; the batch-global stopping rule becomes per-shard
+    (see _cached_jit_solve). Requires the batch divisible by the mesh
+    size."""
     sh = batch_sharding(mesh, axis_name)
     rep = NamedSharding(mesh, P())
 
@@ -199,7 +263,16 @@ def sharded_solve(
     # ops/pallas/ilqr_fused._static_bounds). The executable cache keys
     # components *structurally* (see _struct_key) in a bounded LRU shared
     # with multihost_solve.
-    fn = _cached_jit_solve("local", cfg, quad, lin, cost, dynamics, kwargs)
+    if use_shard_map is None:
+        use_shard_map = (
+            cfg.backend != "xla"
+            and jax.default_backend() == "tpu"
+            and mesh.devices.size > 1
+        )
+    fn = _cached_jit_solve(
+        "local", cfg, quad, lin, cost, dynamics, kwargs,
+        smap=(mesh, axis_name) if use_shard_map else None,
+    )
     return fn(
         x_init,
         tuple(cost) if quad else (),

@@ -65,6 +65,58 @@ def throughput_report(
     return rep
 
 
+def device_kernel_ms(fn: Callable, *args, n: int = 10,
+                     match: str = "ilqr") -> dict:
+    """Profiler-derived per-call device time: capture a jax.profiler
+    trace of ``n`` pipelined calls of a jitted fn, parse the XProf
+    trace.json.gz, and return device-side durations in ms/call --
+    ``matched_ms`` (events whose name contains ``match``, e.g. the
+    Mosaic kernel), ``top`` (the 5 longest device events), and
+    ``device_busy_ms`` (all device events). Unlike the wall-clock MFU
+    this excludes host gaps, dispatch, and the tunnel round-trip, so
+    matched_ms is the number an MFU claim should divide by."""
+    import glob
+    import gzip
+    import json as _json
+    import tempfile
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    with tempfile.TemporaryDirectory() as d:
+        jax.profiler.start_trace(d)
+        outs = [fn(*args) for _ in range(n)]
+        jax.block_until_ready(outs)
+        jax.profiler.stop_trace()
+        paths = glob.glob(d + "/**/*.trace.json.gz", recursive=True)
+        events = []
+        for p in paths:
+            with gzip.open(p, "rt") as f:
+                events.extend(_json.load(f).get("traceEvents", []))
+
+    # device timeline pids announce themselves via process_name metadata
+    dev_pids = {
+        e.get("pid")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and any(k in str(e.get("args", {}).get("name", ""))
+                for k in ("TPU", "/device", "Chip", "TensorCore"))
+    }
+    durs: dict = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "")
+        durs[name] = durs.get(name, 0.0) + float(e.get("dur", 0.0))
+    matched = sum(v for k, v in durs.items() if match in k.lower())
+    total = sum(durs.values())
+    top = sorted(durs.items(), key=lambda kv: -kv[1])[:5]
+    return {
+        "matched_ms": matched / 1e3 / n,
+        "device_busy_ms": total / 1e3 / n,
+        "top": [(k, v / 1e3 / n) for k, v in top],
+    }
+
+
 def ilqr_flops_per_example(T: int, nx: int, nu: int, lqr_iter: int,
                            ls_trials: int = 2) -> float:
     """Rough per-example FLOP count of one fused iLQR solve (rollout +

@@ -164,3 +164,41 @@ def test_struct_key_sees_referenced_globals():
     ns3 = {}
     exec("def a(x):\n    return b(x)\n\ndef b(x):\n    return a(x)\n", ns3)
     _struct_key(ns3["a"], [])
+
+
+def test_sharded_solve_shard_map_path():
+    """use_shard_map=True: each device runs the WHOLE solver on its local
+    shard (the structure the fused Pallas kernel needs on a real
+    multi-chip mesh -- GSPMD cannot partition a custom call). At eps=0
+    the per-shard stopping rule cannot diverge from the global one, so
+    results must match the GSPMD path exactly; n_iter comes back as the
+    pmax over shards."""
+    import dataclasses
+
+    cfg, dyn, params, cost, x_init = _problem()
+    cfg = dataclasses.replace(cfg, eps=0.0, backend="xla")
+    mesh = batch_mesh(jax.devices()[:8])
+    kw = dict(params=params, u_lower=-2.0, u_upper=2.0)
+    a = sharded_solve(mesh, cfg, x_init, cost, dyn,
+                      use_shard_map=False, **kw)
+    b = sharded_solve(mesh, cfg, x_init, cost, dyn,
+                      use_shard_map=True, **kw)
+    np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(b.costs), np.asarray(a.costs), atol=1e-6)
+    assert int(b.n_iter) == int(a.n_iter)
+    assert len(b.u.sharding.device_set) == 8
+
+
+def test_sharded_solve_shard_map_eps_cost_bound():
+    """eps>0: the per-shard stopping rule may stop a shard earlier than
+    the global rule, but per-example accepted cost stays equal-or-better
+    (best-tracking; same argument as the kernel's per-tile rule)."""
+    cfg, dyn, params, cost, x_init = _problem(B=16)
+    mesh = batch_mesh(jax.devices()[:8])
+    kw = dict(params=params, u_lower=-2.0, u_upper=2.0)
+    a = sharded_solve(mesh, cfg, x_init, cost, dyn,
+                      use_shard_map=False, **kw)
+    b = sharded_solve(mesh, cfg, x_init, cost, dyn,
+                      use_shard_map=True, **kw)
+    assert np.all(np.asarray(b.costs) <= np.asarray(a.costs) + 1e-5)
