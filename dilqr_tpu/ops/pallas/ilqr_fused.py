@@ -92,11 +92,22 @@ def _vmem_bytes(cfg: ILQRConfig, stream_k: bool = False,
     n = nx + nu
     if full_stream:
         # O(1)-in-T residency: 2-slot staging for XU, TXU, B read, B
-        # write (n tiles each), Kk (nu*(nx+1)), u0 (nu) + V/v/trackers
+        # write (n tiles each), Kk (nu*(nx+1)), plus a 2-slot read stage
+        # per present whole-T lane input + V/v/trackers
         scratch = (
-            2 * (3 * n + 2 * n + nu * (nx + 1) + nu)
+            2 * (3 * n + 2 * n + nu * (nx + 1))
             + nx * nx + nx + 3
         )
+        if warm:
+            scratch += 2 * nu
+        if lin_dx:
+            scratch += 2 * (nx * n + nx)
+        if lanes_cost:
+            scratch += 2 * (n * n + n)
+        if uz:
+            scratch += 2 * nu
+        if dyn_bounds:
+            scratch += 4 * nu
         temps = 2 * (n * n + 2 * nx * n + nx * nx)
         return (scratch + temps) * bt * 4
     if stream_k:
@@ -146,13 +157,13 @@ def use_stream_k(cfg: ILQRConfig, lin_dx: bool = False,
 
 
 def _full_stream_ok(extras: dict) -> bool:
-    """Full streaming stages only the per-timestep SCRATCH arrays through
-    HBM (plus the u0 warm start, DMA'd straight from its input buffer);
-    whole-T lane INPUTS (per-example cost, LinDx F/f, u_zero_I, dynamic
-    bounds) would each need their own staging machinery -- those configs
-    keep the VMEM/stream-K modes or the XLA fallback."""
-    return not (extras["lin_dx"] or extras["lanes_cost"]
-                or extras["uz"] or extras["dyn_bounds"])
+    """Full streaming covers EVERY kernel-supported feature set: the
+    per-timestep scratch arrays AND all whole-T lane inputs (per-example
+    cost, LinDx F/f, warm start, dynamic bounds, u_zero_I) each get a
+    read-only 2-slot HBM stream. Kept as a function for symmetry with
+    the VMEM gates; the answer is unconditional since round 3 extended
+    input streaming."""
+    return True
 
 
 def _mode_at_width(cfg: ILQRConfig, extras: dict, w: int) -> str:
@@ -550,6 +561,24 @@ def _pnqp_lanes(H, q, lb, ub, x0, n_iter, nu):
     return x, If, H_free
 
 
+def _full_input_streams(cost_mode, lin_dx, f_present, u0_zero,
+                        dyn_bounds, uz_present, nx, nu):
+    """Ordered (name, present, small_shape) of the whole-T lane INPUTS
+    the full streaming mode stages through HBM (read-only 2-slot
+    double-buffering; inputs arrive grid-major [G, T, *small, *ts])."""
+    n = nx + nu
+    return (
+        ("C", cost_mode == "lanes", (n, n)),
+        ("c", cost_mode == "lanes", (n,)),
+        ("F", lin_dx, (nx, n)),
+        ("f", lin_dx and f_present, (nx,)),
+        ("u0", not u0_zero, (nu,)),
+        ("lb", dyn_bounds, (nu,)),
+        ("ub", dyn_bounds, (nu,)),
+        ("uz", uz_present, (nu,)),
+    )
+
+
 def _ilqr_kernel(
     # statics bound via partial:
     T, nx, nu, n_params, lqr_iter, pnqp_iter, eps, ls_decay, max_ls_iter,
@@ -565,9 +594,10 @@ def _ilqr_kernel(
     True/"k" (gains live in an HBM buffer, an extra raw output K_hbm,
     staged through a 2-slot VMEM buffer with async DMA -- see
     use_stream_k), or "full" (EVERY per-timestep array -- trajectory,
-    gains, trial, best -- double-buffered through HBM, so VMEM residency
-    is O(1) in T and any horizon fits; see _full_stream_ok for the
-    supported feature subset).
+    gains, trial, best, AND all whole-T lane inputs: per-example cost,
+    LinDx F/f, warm start, dynamic bounds, u_zero_I -- double-buffered
+    through HBM, so VMEM residency is O(1) in T and any horizon fits for
+    any kernel-supported feature set).
     uz_present: a [T, nu] 0/1 lane input forces u_i = 0 -- masked gains
     when unbounded (reference lqr_step.py:99-127), rollout masking always
     (lqr_step.py:197-198). delta_u_static: scalar trust region intersected
@@ -619,7 +649,14 @@ def _ilqr_kernel(
         kk_st = next(it_r)     # [2,nu,nx+1,*ts]
         br_st = next(it_r)     # [2,n,*ts] best read staging
         bw_st = next(it_r)     # [2,n,*ts] best write staging
-        u0_st = None if u0_zero else next(it_r)  # [2,nu,*ts]
+        # optional input read-streams, in _full_input_streams order
+        in_st = {
+            name: next(it_r)
+            for name, present, _ in _full_input_streams(
+                cost_mode, lin_dx, f_present, u0_zero,
+                bounds_static is None, uz_present, nx, nu)
+            if present
+        }
         K_hbm_ref = u_ref = x_ref = K_ref = k_ref = None
         tx_ref = tu_ref = None
     else:
@@ -646,7 +683,13 @@ def _ilqr_kernel(
         kk_sem = next(it_r)
         br_sem = next(it_r)
         bw_sem = next(it_r)
-        u0_sem = None if u0_zero else next(it_r)
+        in_sem = {
+            name: next(it_r)
+            for name, present, _ in _full_input_streams(
+                cost_mode, lin_dx, f_present, u0_zero,
+                bounds_static is None, uz_present, nx, nu)
+            if present
+        }
 
     # --- per-timestep array storage strategy --------------------------------
     # "none": direct VMEM scratch indexing. "k": only the [T,nu,nx] gain
@@ -717,8 +760,32 @@ def _ilqr_kernel(
             Kk_hbm, kk_st, kk_sem)
         b_begin, _b_read, _, _ = _mk_stream(B_hbm, br_st, br_sem)
         _, _, _b_put, b_flush = _mk_stream(B_hbm, bw_st, bw_sem)
-        if not u0_zero:
-            u0_begin, _u0_read, _, _ = _mk_stream(u0_ref, u0_st, u0_sem)
+
+        # read-only streams over the whole-T lane INPUTS (grid-major HBM
+        # refs); each sweep begins exactly the streams it will read
+        _in_hbm = {
+            "C": C_ref if cost_mode == "lanes" else None,
+            "c": c_ref if cost_mode == "lanes" else None,
+            "F": F_ref if lin_dx else None,
+            "f": f_ref if (lin_dx and f_present) else None,
+            "u0": u0_ref,
+            "lb": lb_ref if bounds_static is None else None,
+            "ub": ub_ref if bounds_static is None else None,
+            "uz": uz_ref,
+        }
+        in_begin, in_read = {}, {}
+        for _nm, _present, _ in _full_input_streams(
+                cost_mode, lin_dx, f_present, u0_zero,
+                bounds_static is None, uz_present, nx, nu):
+            if _present:
+                _rb, _ra, _, _ = _mk_stream(
+                    _in_hbm[_nm], in_st[_nm], in_sem[_nm])
+                in_begin[_nm], in_read[_nm] = _rb, _ra
+
+        def begin_inputs(names, t0):
+            for _nm2 in names:
+                if _nm2 in in_begin:
+                    in_begin[_nm2](t0)
 
         def xu_at(t, d):
             xu = _xu_read(t, d)
@@ -845,14 +912,19 @@ def _ilqr_kernel(
         txu_flush = lambda d: None
         b_begin = lambda t0: None
         b_flush = lambda d: None
+        begin_inputs = lambda names, t0: None
 
         def b_accept(t, improved, xt, ut):
             bx_ref[t] = jnp.where(improved[None], xt, bx_ref[t])
             bu_ref[t] = jnp.where(improved[None], ut, bu_ref[t])
 
     if cost_mode == "lanes":
-        Cmat = lambda t: C_ref[t]                     # [n,n,8,128]
-        cvec = lambda t: c_ref[t]                     # [n,8,128]
+        if full:
+            Cmat = lambda t, d=1: in_read["C"](t, d)   # [n,n,*ts]
+            cvec = lambda t, d=1: in_read["c"](t, d)   # [n,*ts]
+        else:
+            Cmat = lambda t, d=1: C_ref[t]
+            cvec = lambda t, d=1: c_ref[t]
     elif cost_mode == "callable":
         # user cost_fn(tau, params) -> per-lane scalar, authored with
         # index arithmetic / axis-0 ops so it traces on [n, 8, 128] lane
@@ -889,7 +961,7 @@ def _ilqr_kernel(
         per_t = Cs_ref.shape[0] > 1
         diag = cost_mode == "diag"
 
-        def Cmat(t):
+        def Cmat(t, d=1):
             ti = t if per_t else 0
             if diag:
                 # off-diagonals are literal zeros -- Mosaic/XLA fold the
@@ -911,7 +983,7 @@ def _ilqr_kernel(
                 for i in range(n)
             ])
 
-        def cvec(t):
+        def cvec(t, d=1):
             ti = t if per_t else 0
             return jnp.stack([
                 jnp.broadcast_to(cs_ref[ti, i], ts) for i in range(n)
@@ -921,15 +993,23 @@ def _ilqr_kernel(
     x_init = xi_ref[...]
 
     if bounds_static is None:
-        lb_at = lambda t: lb_ref[t]
-        ub_at = lambda t: ub_ref[t]
+        if full:
+            lb_at = lambda t, d=1: in_read["lb"](t, d)
+            ub_at = lambda t, d=1: in_read["ub"](t, d)
+        else:
+            lb_at = lambda t, d=1: lb_ref[t]
+            ub_at = lambda t, d=1: ub_ref[t]
     else:
         # example-invariant bounds baked in as compile-time constants
         lbc, ubc = bounds_static
         lb_const = jnp.stack([jnp.full(ts, v, f32) for v in lbc])
         ub_const = jnp.stack([jnp.full(ts, v, f32) for v in ubc])
-        lb_at = lambda t: lb_const
-        ub_at = lambda t: ub_const
+        lb_at = lambda t, d=1: lb_const
+        ub_at = lambda t, d=1: ub_const
+
+    if uz_present:
+        uz_at = (lambda t, d=1: in_read["uz"](t, d)) if full \
+            else (lambda t, d=1: uz_ref[t])
 
     if not full:
         if u0_zero:
@@ -947,12 +1027,19 @@ def _ilqr_kernel(
     flags_ref[2] = 0
 
     if lin_dx:
+        # step_t only runs in FORWARD sweeps (roll/trial); the backward
+        # sweep reads F through F_at with d=-1
+        F_at = (lambda t, d=1: in_read["F"](t, d)) if full \
+            else (lambda t, d=1: F_ref[t])
+        if f_present:
+            f_at = (lambda t: in_read["f"](t, 1)) if full \
+                else (lambda t: f_ref[t])
 
         def step_t(t, xt, ut):
             tau = jnp.concatenate([xt, ut], axis=0)
-            nxt = _mv(F_ref[t], tau)
+            nxt = _mv(F_at(t), tau)
             if f_present:
-                nxt = nxt + f_ref[t]
+                nxt = nxt + f_at(t)
             return nxt
     else:
         step = lambda x, u: step_fn(x, u, params)   # clamped true dynamics
@@ -968,14 +1055,13 @@ def _ilqr_kernel(
 
     # ---- 1) initial open-loop rollout + objective (once; afterwards the
     # accept pass maintains x_ref/u_ref and their cost, util.py:104-153) ----
-    if full and not u0_zero:
-        u0_begin(0)
+    begin_inputs(("u0", "C", "c", "F", "f"), 0)
 
     def roll(t, carry):
         xt, cost = carry
         if full:
             ut = (jnp.zeros((nu,) + ts, f32) if u0_zero
-                  else _u0_read(t, 1))
+                  else in_read["u0"](t, 1))
             xu_write(t, xt, ut, 1)
         else:
             x_ref[t] = xt
@@ -1000,6 +1086,10 @@ def _ilqr_kernel(
             v_ref[...] = jnp.zeros(v_ref.shape, f32)
 
             xu_begin(T - 1)
+            ric_ins = ["C", "c", "F", "lb", "ub"]
+            if unbounded and uz_present:
+                ric_ins.append("uz")
+            begin_inputs(ric_ins, T - 1)
 
             def ric_body(i, _c):
                 t = T - 1 - i
@@ -1030,7 +1120,7 @@ def _ilqr_kernel(
                     return jnp.stack(cols, axis=1)  # [nx,n,8,128]
 
                 if lin_dx:
-                    F = F_ref[t]  # zero slab at t = T-1 supplied as data
+                    F = F_at(t, -1)  # zero slab at t = T-1 supplied as data
                 else:
                     F = jnp.where(t < T - 1, lin_at(xt, ut), 0.0)
                 tau = jnp.concatenate([xt, ut], axis=0)
@@ -1039,8 +1129,8 @@ def _ilqr_kernel(
                     # delta-space C tau + c = the gradient g
                     Ct, cb = quad_at(tau)
                 else:
-                    Ct = Cmat(t)
-                    cb = _mv(Ct, tau) + cvec(t)
+                    Ct = Cmat(t, -1)
+                    cb = _mv(Ct, tau) + cvec(t, -1)
 
                 tmp = _mm(jnp.swapaxes(V, 0, 1), F)       # V^T F = V F
                 FT = jnp.swapaxes(F, 0, 1)                # [n,nx,8,128]
@@ -1054,8 +1144,8 @@ def _ilqr_kernel(
                 Quu = Q[nx:, nx:]
                 qx = q[:nx]
                 qu = q[nx:]
-                lb = lb_at(t) - ut
-                ub = ub_at(t) - ut
+                lb = lb_at(t, -1) - ut
+                ub = ub_at(t, -1) - ut
                 if delta_u_static is not None:
                     # trust region intersected into the delta-space QP
                     # bounds (lqr_step.py:132-135)
@@ -1067,7 +1157,7 @@ def _ilqr_kernel(
                     # the reference's unbounded branch; boxed solves ignore
                     # the mask in the backward): free-subspace solve with
                     # the masked Hessian + 1e-8 on frozen diagonals
-                    Iz = uz_ref[t]                       # [nu,8,128]
+                    Iz = uz_at(t, -1)                    # [nu,*ts]
                     notI = 1.0 - Iz
                     qu_ = qu * notI
                     eyeI = jnp.stack([
@@ -1149,8 +1239,8 @@ def _ilqr_kernel(
                 if uz_present:
                     # zero masked coords BEFORE clamping (the reference's
                     # order, lqr_step.py:197-213)
-                    new_u = new_u * (1.0 - uz_ref[t])
-                lo, hi = lb_at(t), ub_at(t)
+                    new_u = new_u * (1.0 - uz_at(t, 1))
+                lo, hi = lb_at(t, 1), ub_at(t, 1)
                 if delta_u_static is not None:
                     # clamp widened around the current iterate
                     # (lqr_step.py:203-211)
@@ -1172,6 +1262,8 @@ def _ilqr_kernel(
 
                 kk_begin()
                 xu_begin(0)
+                begin_inputs(
+                    ("C", "c", "F", "f", "lb", "ub", "uz"), 0)
                 z = jnp.zeros(ts, f32)
                 _, cost, du2 = lax.fori_loop(0, T, tbody, (x_init, z, z))
                 txu_flush(1)
@@ -1500,6 +1592,13 @@ def ilqr_fused(
 
     Bp = -(-B // bt) * bt
     G = Bp // bt
+    stream_mode = {False: "none", True: "k"}.get(
+        force_stream_k, force_stream_k)
+    full = stream_mode == "full"
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    # full mode: whole-T lane inputs move to grid-major HBM buffers the
+    # kernel's input streams DMA per timestep
+    g_lead = lambda a: jnp.moveaxis(a, -3, 0)
 
     # --- cost: SMEM scalars when example-invariant, lanes otherwise ---
     cost_mode = "lanes"
@@ -1552,6 +1651,9 @@ def ilqr_fused(
         c_p = pad_batch(c.astype(f32), B, Bp)
         cost_in = [to_lanes(C_p, T, Bp, lw), to_lanes(c_p, T, Bp, lw)]
         cost_specs = [bspec(T, (n, n), lw), bspec(T, (n,), lw)]
+        if full:
+            cost_in = [g_lead(a) for a in cost_in]
+            cost_specs = [anyspec, anyspec]
     elif cost_mode != "callable":
         cost_in = [Cs_in, cs_in]
         cost_specs = [
@@ -1575,18 +1677,19 @@ def ilqr_fused(
             f_full = jnp.concatenate([dyn.f.astype(f32), fz], axis=0)
             lin_in.append(to_lanes(pad_batch(f_full, B, Bp), T, Bp, lw))
             lin_specs.append(bspec(T, (nx,), lw))
+        if full:
+            lin_in = [g_lead(a) for a in lin_in]
+            lin_specs = [anyspec] * len(lin_specs)
 
-    stream_mode = {False: "none", True: "k"}.get(
-        force_stream_k, force_stream_k)
     u0_zero = u_init is None
     u_in = []
     u_specs = []
     if not u0_zero:
         u_p = pad_batch(u_init.astype(f32), B, Bp)
-        if stream_mode == "full":
+        if full:
             # grid-major HBM layout, DMA'd in-kernel by the u0 stream
-            u_in = [jnp.moveaxis(to_lanes(u_p, T, Bp, lw), 2, 0)]
-            u_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+            u_in = [g_lead(to_lanes(u_p, T, Bp, lw))]
+            u_specs = [anyspec]
         else:
             u_in = [to_lanes(u_p, T, Bp, lw)]  # [T,nu,G,8,lw]
             u_specs = [bspec(T, (nu,), lw)]
@@ -1598,6 +1701,9 @@ def ilqr_fused(
         uz_p = pad_batch(u_zero_I.astype(f32), B, Bp)
         uz_in = [to_lanes(uz_p, T, Bp, lw)]    # [T,nu,G,8,lw] floats 0/1
         uz_specs = [bspec(T, (nu,), lw)]
+        if full:
+            uz_in = [g_lead(uz_in[0])]
+            uz_specs = [anyspec]
 
     delta_u_static = _static_scalar(delta_u)
     unbounded = u_lower is None
@@ -1609,6 +1715,9 @@ def ilqr_fused(
             to_lanes(expand_bound(u_upper, T, B, Bp, nu, +1.0), T, Bp, lw),
         ]
         bound_specs = [bspec(T, (nu,), lw), bspec(T, (nu,), lw)]
+        if full:
+            bound_in = [g_lead(a) for a in bound_in]
+            bound_specs = [anyspec, anyspec]
     else:
         bound_in = []
         bound_specs = []
@@ -1699,21 +1808,29 @@ def _pallas_solve(cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs,
             sds((G, T, n) + ts, f32),
         ]
         n_raw_out = 4
-        warm = not u0_zero
+        in_streams = [
+            small
+            for _, present, small in _full_input_streams(
+                cost_mode, lin_dx, f_present, u0_zero,
+                bounds_static is None, uz_present, nx, nu)
+            if present
+        ]
         scratch_shapes = [
             pltpu.VMEM((2, n) + ts, f32),            # xu staging
             pltpu.VMEM((2, n) + ts, f32),            # txu staging
             pltpu.VMEM((2, nu, nx + 1) + ts, f32),   # Kk staging
             pltpu.VMEM((2, n) + ts, f32),            # B read staging
             pltpu.VMEM((2, n) + ts, f32),            # B write staging
-        ] + ([pltpu.VMEM((2, nu) + ts, f32)] if warm else []) + [
+        ] + [
+            pltpu.VMEM((2,) + small + ts, f32) for small in in_streams
+        ] + [
             pltpu.VMEM((nx, nx) + ts, f32),          # V
             pltpu.VMEM((nx,) + ts, f32),             # v
             pltpu.VMEM(ts, f32),                     # du2 (alpha=1)
             pltpu.VMEM(ts, f32),                     # cc
             pltpu.VMEM(ts, f32),                     # old_cost
             pltpu.SMEM((4,), jnp.int32),             # flags
-        ] + [pltpu.SemaphoreType.DMA((2,))] * (5 + int(warm))
+        ] + [pltpu.SemaphoreType.DMA((2,))] * (5 + len(in_streams))
     else:
         out_specs = [
             bspec(T, (nx,), lw),     # bx
@@ -1767,7 +1884,7 @@ def _pallas_solve(cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs,
                 _squeeze_io(
                     kernel, cost_mode, n_raw_out=n_raw_out,
                     n_scratch=len(scratch_shapes),
-                    raw_u0=full and not u0_zero,
+                    full=full,
                 ),
                 grid=(G,),
                 in_specs=[
@@ -1830,25 +1947,36 @@ def ilqr_fused_lanes(
 
 
 def _squeeze_io(kernel, cost_mode, n_raw_out=0, n_scratch=12,
-                raw_u0=False):
-    """Wrap lane-tensor refs in LaneView. SMEM refs, the raw_u0 HBM input
-    (full-stream mode's [G,T,nu,*ts] warm start, DMA'd in-kernel), the
-    n_raw_out trailing outputs (the streaming HBM buffers), and the
-    n_scratch trailing scratch refs pass through untouched."""
+                full=False):
+    """Wrap lane-tensor refs in LaneView. SMEM refs, the n_raw_out
+    trailing outputs (the streaming HBM buffers), and the n_scratch
+    trailing scratch refs pass through untouched. In full-stream mode
+    every whole-T input is a raw grid-major HBM buffer (DMA'd by the
+    kernel's input streams) and only x_init + the three [G,*ts] lane
+    outputs are blocked."""
     n_smem_cost = {"smem": 2, "diag": 2, "callable": 1}.get(cost_mode, 0)
 
     def wrapped(*refs):
         out = [refs[0]]  # params SMEM
         i = 1
         out.append(LaneView(refs[i])); i += 1  # x_init
+        if full:
+            # SMEM cost refs and ANY HBM input buffers: all raw, up to
+            # the three lane outputs (bc, bdu, iters)
+            n_raw_in = len(refs) - i - 3 - n_raw_out - n_scratch
+            for _ in range(n_raw_in):
+                out.append(refs[i]); i += 1
+            for _ in range(3):
+                out.append(LaneView(refs[i])); i += 1
+            out.extend(refs[i:])  # raw outputs + scratch
+            kernel(*out)
+            return
         if n_smem_cost:
             for _ in range(n_smem_cost):  # Cs/cs (or cost params) SMEM
                 out.append(refs[i]); i += 1
         else:
             out.append(LaneView(refs[i])); i += 1  # C lanes
             out.append(LaneView(refs[i])); i += 1  # c lanes
-        if raw_u0:
-            out.append(refs[i]); i += 1  # u0 HBM buffer, raw
         # remaining lane refs: u0?, lb?, ub?, and the lane outputs
         n_tensor = len(refs) - i - n_scratch - n_raw_out
         for _ in range(n_tensor):

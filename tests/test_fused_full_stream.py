@@ -92,6 +92,92 @@ def test_long_horizon_routes_full():
     _, mode = _pick_lanes_width(
         dataclasses.replace(cfg, T=400), extras, 1)
     assert mode == "full"
-    # whole-T lane inputs are outside the supported subset -> not "full"
+    # round 3 extension: whole-T lane INPUTS stream too -- every
+    # kernel-supported feature set is admissible at any horizon
     for k in ("lin_dx", "lanes_cost", "uz", "dyn_bounds"):
-        assert not _full_stream_ok({**extras, k: True})
+        ex = {**extras, k: True}
+        assert _full_stream_ok(ex)
+        _, mode = _pick_lanes_width(
+            dataclasses.replace(cfg, T=200), ex, 1)
+        assert mode == "full", k
+
+
+def test_full_stream_input_streams_bitwise():
+    """The formerly-excluded whole-T lane inputs -- u_zero_I, dynamic
+    (traced) bounds, per-example lane cost -- each stream bitwise-equal
+    to the all-VMEM kernel."""
+    B, T = 1024, 6
+    cfg, dyn, params, x_init, cost_small = _problem(B, T)
+    rng = np.random.RandomState(2)
+    q, p = pendulum.get_true_obj()
+    n = 4
+
+    # per-example lane cost
+    scale = jnp.asarray(
+        1.0 + 0.5 * rng.rand(T, B, 1, 1).astype(np.float32))
+    C = jnp.broadcast_to(jnp.diag(q), (T, B, n, n)) * scale
+    c = jnp.broadcast_to(p, (T, B, n)) * scale[..., 0]
+    # per-example bounds (forces the dynamic-bounds lane path)
+    lb = jnp.asarray(-2.0 - rng.rand(T, B, 1).astype(np.float32))
+    ub = jnp.asarray(2.0 + rng.rand(T, B, 1).astype(np.float32))
+    uz = jnp.asarray(rng.rand(T, B, 1) < 0.2)
+
+    cases = {
+        "lanes_cost": dict(C=C, c=c, u_lower=dyn.lower, u_upper=dyn.upper),
+        "dyn_bounds": dict(cost_small=cost_small, u_lower=lb, u_upper=ub),
+        "uz": dict(cost_small=cost_small, u_lower=dyn.lower,
+                   u_upper=dyn.upper, u_zero_I=uz),
+    }
+    for name, kw in cases.items():
+        outs = {}
+        for mode in ("none", "full"):
+            x, u, costs, du, it = ilqr_fused(
+                cfg, dyn, params, x_init,
+                kw.get("C"), kw.get("c"), None,
+                u_lower=kw.get("u_lower"), u_upper=kw.get("u_upper"),
+                u_zero_I=kw.get("u_zero_I"),
+                cost_small=kw.get("cost_small"),
+                interpret=True, force_stream_k=mode,
+            )
+            outs[mode] = tuple(np.asarray(a) for a in (x, u, costs, du))
+        for a, b, fld in zip(outs["none"], outs["full"],
+                             ("x", "u", "costs", "du")):
+            # input-stream reads compile to structurally different (but
+            # mathematically identical) programs; interpret mode's XLA
+            # CPU backend may reassociate fma -> 1-ulp differences
+            np.testing.assert_allclose(
+                a, b, rtol=1e-5, atol=1e-5, err_msg=f"{name}/{fld}")
+
+
+def test_full_stream_lindx_bitwise():
+    """LinDx (time-varying affine) F/f stream bitwise-equal too."""
+    B, T, nx, nu = 1024, 6, 3, 1
+    n = nx + nu
+    rng = np.random.RandomState(4)
+    from dilqr_tpu.types import LinDx
+
+    A = rng.randn(T, B, n, n).astype(np.float32)
+    Cq = jnp.asarray(
+        A @ A.transpose(0, 1, 3, 2) + 3.0 * np.eye(n, dtype=np.float32))
+    cq = jnp.asarray(rng.randn(T, B, n).astype(np.float32))
+    Fx = np.eye(nx, dtype=np.float32) \
+        + 0.05 * rng.randn(T - 1, B, nx, nx).astype(np.float32)
+    Fu = 0.3 * rng.randn(T - 1, B, nx, nu).astype(np.float32)
+    F = jnp.asarray(np.concatenate([Fx, Fu], -1))
+    f = jnp.asarray(0.1 * rng.randn(T - 1, B, nx).astype(np.float32))
+    x0 = jnp.asarray(rng.randn(B, nx).astype(np.float32))
+    cfg = ILQRConfig(
+        n_state=nx, n_ctrl=nu, T=T, lqr_iter=3, eps=0.0,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    outs = {}
+    for mode in ("none", "full"):
+        x, u, costs, du, it = ilqr_fused(
+            cfg, LinDx(F, f), None, x0, Cq, cq, None,
+            u_lower=-1.0, u_upper=1.0,
+            interpret=True, force_stream_k=mode,
+        )
+        outs[mode] = tuple(np.asarray(a) for a in (x, u, costs, du))
+    for a, b in zip(outs["none"], outs["full"]):
+        # same 1-ulp caveat as the input-streams test above
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
