@@ -181,3 +181,20 @@ def test_full_stream_lindx_bitwise():
     for a, b in zip(outs["none"], outs["full"]):
         # same 1-ulp caveat as the input-streams test above
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_full_stream_widened_bitwise():
+    """Lane widening composes with full streaming: W=2 full-stream
+    bitwise-equal to W=1 full-stream (same examples, wider tiles)."""
+    B, T = 2048, 5
+    cfg, dyn, params, x_init, cost_small = _problem(B, T)
+    outs = {}
+    for w in (1, 2):
+        x, u, costs, du, it = ilqr_fused(
+            cfg, dyn, params, x_init, None, None, None,
+            u_lower=dyn.lower, u_upper=dyn.upper, cost_small=cost_small,
+            interpret=True, force_stream_k="full", lanes_width=w,
+        )
+        outs[w] = tuple(np.asarray(a) for a in (x, u, costs, du))
+    for a, b in zip(outs[1], outs[2]):
+        np.testing.assert_array_equal(a, b)
