@@ -70,7 +70,7 @@ def lqr_solve_linear(
     nu = n_ctrl
 
     if parallel and not (
-        n_state > 3
+        max(n_state, n_ctrl) > 3  # [nx,nx] combine OR [nu,nu] elimination
         and C.dtype == jnp.float64
         and jax.default_backend() == "tpu"  # no f64 batched LU (riccati.py)
     ):

@@ -36,7 +36,7 @@ def gmres(
     Returns the solution pytree; with ``return_info=True`` returns
     ``(x, res_norm, b_norm)`` so callers can detect non-convergence
     (``res_norm > tol * b_norm``). ``tol`` is relative to ||b||;
-    total matvecs <= maxiter * (restart + 1).
+    total matvecs <= 1 + maxiter * (restart + 1).
     """
     b_flat, unravel = ravel_pytree(b)
     n = b_flat.shape[0]
@@ -51,8 +51,11 @@ def gmres(
 
     m = restart
 
-    def cycle(x):
-        r = b_flat - mv(x)
+    def cycle(x, r):
+        # the residual VECTOR is carried between cycles: the cycle-end
+        # true residual both decides convergence and restarts the next
+        # cycle, so each cycle costs m+1 matvecs, not m+2 (each matvec
+        # here is a full KKT-adjoint pass in diff/ift.py)
         beta = jnp.linalg.norm(r)
         V0 = jnp.zeros((m + 1, n), dtype).at[0].set(r / (beta + _EPS))
         H0 = jnp.zeros((m + 1, m), dtype)
@@ -72,20 +75,21 @@ def gmres(
         e1 = jnp.zeros((m + 1,), dtype).at[0].set(beta)
         y, *_ = jnp.linalg.lstsq(H, e1)
         x = x + y @ V[:m]
-        res = jnp.linalg.norm(b_flat - mv(x))
-        return x, res
+        r = b_flat - mv(x)
+        return x, r, jnp.linalg.norm(r)
 
     def cond(carry):
-        _, res, i = carry
+        _, _, res, i = carry
         return (res > atol) & (i < maxiter)
 
     def body(carry):
-        x, _, i = carry
-        x, res = cycle(x)
-        return x, res, i + 1
+        x, r, _, i = carry
+        x, r, res = cycle(x, r)
+        return x, r, res, i + 1
 
-    r0 = jnp.linalg.norm(b_flat - mv(x))
-    x, res, _ = lax.while_loop(cond, body, (x, r0, jnp.int32(0)))
+    r0 = b_flat - mv(x)
+    x, _, res, _ = lax.while_loop(
+        cond, body, (x, r0, jnp.linalg.norm(r0), jnp.int32(0)))
     if return_info:
         return unravel(x), res, b_norm
     return unravel(x)
@@ -179,8 +183,9 @@ def gmres_batched(
                                          0.0))
         return y
 
-    def cycle(x):
-        r = b_flat - mv(x)                       # [B, D]
+    def cycle(x, r):
+        # residual vector carried between cycles (see gmres.cycle):
+        # m+1 matvecs per cycle instead of m+2
         beta = jnp.linalg.norm(r, axis=1)        # [B]
         V0 = jnp.zeros((m + 1, B, D), dtype).at[0].set(
             r / (beta + _EPS)[:, None]
@@ -202,18 +207,19 @@ def gmres_batched(
         e1 = jnp.zeros((B, m + 1), dtype).at[:, 0].set(beta)
         y = lstsq_b(H, e1)                       # [B, m]
         x = x + jnp.einsum("bi,ibd->bd", y, V[:m])
-        res = jnp.linalg.norm(b_flat - mv(x), axis=1)
-        return x, res
+        r = b_flat - mv(x)
+        return x, r, jnp.linalg.norm(r, axis=1)
 
     def cond(carry):
-        _, res, i = carry
+        _, _, res, i = carry
         return jnp.any(res > atol) & (i < maxiter)
 
     def body(carry):
-        x, _, i = carry
-        x, res = cycle(x)
-        return x, res, i + 1
+        x, r, _, i = carry
+        x, r, res = cycle(x, r)
+        return x, r, res, i + 1
 
-    r0 = jnp.linalg.norm(b_flat - mv(x), axis=1)
-    x, res, _ = lax.while_loop(cond, body, (x, r0, jnp.int32(0)))
+    r0 = b_flat - mv(x)
+    x, _, res, _ = lax.while_loop(
+        cond, body, (x, r0, jnp.linalg.norm(r0, axis=1), jnp.int32(0)))
     return unflatten(x), res, b_norm

@@ -34,16 +34,24 @@ broadcast [T,B,n,n] into lanes) disappears entirely.
 
 Semantics vs the lax.scan path (core/ilqr.py): identical per-example math;
 the only deviation is that the stopping rule's reductions (`max(du) < eps`,
-`any(improved)`, line-search `any(worsened)`) run per 1024-example tile
-instead of over the global batch. Extra line-search trials are idempotent
-(unchanged alpha reproduces the same trial), and extra outer iterations can
-only improve the best-tracked result, so results match the global-batch
-rule whenever both run the same iterations (e.g. eps=0); when tiles stop
-early they stop *converged*, so accepted costs still match to f32 noise.
-Test-backed: tests/test_fused_mixed_convergence.py engineers two tiles
-converging 8 outer iterations apart at eps>0 and asserts per-example cost
-parity (<=1e-4 abs) and u-parity on the iteration-matched tile vs the
-global-rule XLA path.
+`any(improved)`, line-search `any(worsened)`, pnqp's Newton/Armijo exits)
+run per 1024-example base tile instead of over the global batch. Extra
+line-search trials are idempotent (unchanged alpha reproduces the same
+trial), and extra outer iterations can only improve the best-tracked
+result, so results match the global-batch rule whenever both run the same
+iterations (e.g. eps=0); when tiles stop early they stop *converged*, so
+accepted costs still match to f32 noise. Test-backed:
+tests/test_fused_mixed_convergence.py engineers two tiles converging 8
+outer iterations apart at eps>0 and asserts per-example cost parity
+(<=1e-4 abs) and u-parity on the iteration-matched tile vs the global-rule
+XLA path.
+
+Lane widening (W > 1, [8, 128*W] tiles) never changes this granule: every
+such reduction runs per base-tile SUBTILE (a sublane-row group, see
+_subtiles), a stopped subtile's lanes run alpha=0 fixed-point trials and
+accept nothing, and per-subtile counters live in SMEM -- so the widened
+kernel is BITWISE equal to W separate launches at ANY eps and the
+auto-picked W is not user-observable (tests/test_fused_width.py).
 """
 from __future__ import annotations
 
@@ -398,6 +406,39 @@ def np_prod(shape):
 
 
 # ---------------------------------------------------------------------------
+# subtile reductions: the semantic batch granule is the [8, 128] base tile.
+# Lane widening (W > 1) only regroups W base tiles into one program
+# instance for ILP -- every reduction that feeds a stopping rule (outer
+# convergence, not-improved counting, pnqp Newton/Armijo exits) runs per
+# 128-lane subtile so the widened kernel is BITWISE equal to W separate
+# launches and the auto-picked W is never user-observable (at any eps).
+# ---------------------------------------------------------------------------
+
+
+def _subtiles(ts):
+    """Base-tile SUBLANE-row groups of a [*ts] = [8, 128*W] lanes tile.
+
+    layout.to_lanes reshapes the flat batch row-major into (G, 8, 128*W),
+    so a widened tile holds its W base [8, 128] tiles as W consecutive
+    groups of 8//W sublane rows (each spanning ALL 128*W lanes) -- NOT as
+    128-lane column blocks. Slices index axis -2."""
+    n_sub = ts[-1] // 128
+    r = ts[-2] // n_sub  # rows per base tile; W in {1,2,4,8} divides 8
+    return [slice(w * r, (w + 1) * r) for w in range(n_sub)]
+
+
+def _sub_mask(flags, ts):
+    """Broadcast one scalar per subtile back to a [*ts] lanes array
+    (concatenating along the sublane-row axis -2)."""
+    n_sub = len(flags)
+    r = ts[-2] // n_sub
+    parts = [
+        jnp.broadcast_to(f, tuple(ts[:-2]) + (r, ts[-1])) for f in flags
+    ]
+    return parts[0] if n_sub == 1 else jnp.concatenate(parts, axis=-2)
+
+
+# ---------------------------------------------------------------------------
 # small-matrix solves on lanes: A [m,m,8,128] (SPD), b [m,...,8,128]
 # ---------------------------------------------------------------------------
 
@@ -505,9 +546,14 @@ def _pnqp_lanes(H, q, lb, ub, x0, n_iter, nu):
         dx = -_mv(_inv_lanes(H_free, nu), g_free)
         return g, If, H_free, dx
 
+    subs = _subtiles(ts)
+
     def armijo(x, g, dx, J):
         """Per-lane backtracking (pnqp.py:61-77). J: lanes still stepping;
-        inactive lanes carry the GAMMA+1e-6 sentinel (reference quirk)."""
+        inactive lanes carry the GAMMA+1e-6 sentinel (reference quirk).
+        The max(armijo) > GAMMA exit runs PER 128-lane SUBTILE (carried as
+        one scalar each); an exited subtile's alpha/mx freeze so a widened
+        tile is bitwise-equal to W separate base tiles."""
         sentinel = jnp.full(ts, PNQP_GAMMA + 1e-6, jnp.float32)
         ox = obj(x)
 
@@ -519,44 +565,63 @@ def _pnqp_lanes(H, q, lb, ub, x0, n_iter, nu):
             return mx, arm
 
         def cond(carry):
-            _, _, max_arm, i = carry
+            _, _, max_arms, i = carry
             # exit as soon as max(armijo) > GAMMA (the reference quirk,
-            # pnqp.py:61-77)
-            return (max_arm <= PNQP_GAMMA) & (i < PNQP_ARMIJO_ITER)
+            # pnqp.py:61-77), per subtile; loop while ANY subtile is under
+            unfinished = max_arms[0] <= PNQP_GAMMA
+            for ma in max_arms[1:]:
+                unfinished = unfinished | (ma <= PNQP_GAMMA)
+            return unfinished & (i < PNQP_ARMIJO_ITER)
 
         def body(carry):
-            alpha, mx, _, i = carry
+            alpha, mx, max_arms, i = carry
             nmx, arm = trial(alpha)
-            alpha = jnp.where(arm <= PNQP_GAMMA, alpha * PNQP_DECAY, alpha)
-            return alpha, nmx, jnp.max(arm), i + 1
+            act = tuple(ma <= PNQP_GAMMA for ma in max_arms)
+            actm = _sub_mask(act, ts)
+            mx = jnp.where(actm, nmx, mx)
+            alpha = jnp.where(actm & (arm <= PNQP_GAMMA),
+                              alpha * PNQP_DECAY, alpha)
+            max_arms = tuple(
+                jnp.where(a, jnp.max(arm[..., sl, :]), ma)
+                for a, sl, ma in zip(act, subs, max_arms)
+            )
+            return alpha, mx, max_arms, i + 1
 
         a0 = jnp.ones(ts, jnp.float32)
-        _, mx, _, _ = lax.while_loop(
-            cond, body,
-            (a0, x, jnp.full((), PNQP_GAMMA, jnp.float32), jnp.int32(0)),
+        ma0 = tuple(
+            jnp.full((), PNQP_GAMMA, jnp.float32) for _ in subs
         )
+        _, mx, _, _ = lax.while_loop(cond, body, (a0, x, ma0, jnp.int32(0)))
         return mx
 
     def outer_cond(carry):
         _, _, _, done, i = carry
-        return jnp.logical_not(done) & (i < n_iter)
+        all_done = done[0]
+        for d in done[1:]:
+            all_done = all_done & d
+        return jnp.logical_not(all_done) & (i < n_iter)
 
     def outer(carry):
         x, If_prev, Hf_prev, done, i = carry
         g, If, H_free, dx = newton(x)
         J = jnp.sqrt((dx * dx).sum(0)) >= PNQP_CONV
-        new_done = ~jnp.any(J)
+        # per-subtile convergence; a done subtile's x freezes, so its
+        # recomputed newton()/If/H_free are idempotent thereafter
+        done = tuple(
+            d | ~jnp.any(J[..., sl, :]) for d, sl in zip(done, subs)
+        )
         new_x = armijo(x, g, dx, J)
-        x = jnp.where(new_done, x, new_x)
-        return x, If, H_free, new_done, i + 1
+        x = jnp.where(_sub_mask(done, ts), x, new_x)
+        return x, If, H_free, done, i + 1
 
-    # early-exit per tile once every lane's Newton step is small
+    # early-exit per SUBTILE once every lane's Newton step is small
     # (reference pnqp.py:56-59); identical iterates to the masked
     # fixed-trip version, minus the discarded work
     g0, If0, Hf0, _ = newton(x)
     x, If, H_free, _, _ = lax.while_loop(
         outer_cond, outer,
-        (x, If0, Hf0, jnp.full((), False), jnp.int32(0)),
+        (x, If0, Hf0, tuple(jnp.full((), False) for _ in subs),
+         jnp.int32(0)),
     )
     return x, If, H_free
 
@@ -1016,15 +1081,34 @@ def _ilqr_kernel(
             u_ref[...] = jnp.zeros(u_ref.shape, f32)
         else:
             u_ref[...] = u0_ref[...]
-        # full mode: B_hbm needs no zero-init -- bc = inf makes the first
-        # iteration's accept unconditionally write every timestep
         bx_ref[...] = jnp.zeros(bx_ref.shape, f32)
         bu_ref[...] = jnp.zeros(bu_ref.shape, f32)
+    else:
+        # B_hbm must be zero-initialized like bx/bu above: bc = inf does
+        # NOT guarantee a first-iteration accept for a lane whose trial
+        # cost is NaN (NaN <= inf is false), and b_accept is a
+        # read-modify-write -- without this sweep such a lane would
+        # return uninitialized HBM instead of the zeros the VMEM modes
+        # return. One T-sweep of write DMAs, once per solve.
+        def _b_init(t, _c):
+            _b_put(t, jnp.zeros((n,) + tuple(ts), f32), 1)
+            return 0
+
+        lax.fori_loop(0, T, _b_init, 0)
+        b_flush(1)
     bc_ref[...] = jnp.full(ts, jnp.inf, f32)
     bdu_ref[...] = jnp.full(ts, jnp.inf, f32)
+    # flags layout: [0] all-subtiles-stopped latch (gates the outer body);
+    # per base-tile subtile w of n_sub = ts[-1]//128 (a sublane-row group,
+    # see _subtiles): [1+w] stopped, [1+n_sub+w] not-improved count,
+    # [1+2*n_sub+w] iterations executed. The stopping rule runs per
+    # subtile so W>1 is bitwise-equal to W=1.
+    n_sub = ts[-1] // 128
     flags_ref[0] = 0
-    flags_ref[1] = 0
-    flags_ref[2] = 0
+    for w in range(n_sub):
+        flags_ref[1 + w] = 0
+        flags_ref[1 + n_sub + w] = 0
+        flags_ref[1 + 2 * n_sub + w] = 0
 
     if lin_dx:
         # step_t only runs in FORWARD sweeps (roll/trial); the backward
@@ -1077,6 +1161,12 @@ def _ilqr_kernel(
         @pl.when(flags_ref[0] == 0)
         def _():
             old_cost = oc_ref[...]
+            # per-subtile running masks: a stopped subtile's lanes run
+            # with alpha = 0 (the trial reproduces the frozen iterate
+            # bitwise) and accept nothing, exactly as if their base tile
+            # had exited its own kernel instance
+            run_w = [flags_ref[1 + w] == 0 for w in range(n_sub)]
+            act = _sub_mask(tuple(run_w), ts)
 
             # ---- 2+3+4) backward Riccati (lqr_step.py:52-160) with the
             # linearization F_t = jax.linearize(step) and the delta-space
@@ -1289,14 +1379,16 @@ def _ilqr_kernel(
                 return jnp.where(cc_ref[...] > old_cost, alpha * ls_decay,
                                  alpha)
 
-            lax.fori_loop(0, max_ls_iter, ls_body, ones)
+            lax.fori_loop(0, max_ls_iter, ls_body,
+                          jnp.where(act, ones, jnp.zeros(ts, f32)))
             cc = cc_ref[...]
             cur_du = jnp.sqrt(du2s_ref[...])
 
             # ---- accept the last executed trial (lqr_step.py:247) and
             # fold in best tracking (mpc.py:266-301) in one pass: tx/tu
-            # hold exactly that trial's trajectory ----
-            improved = cc <= bc_ref[...] + best_cost_eps
+            # hold exactly that trial's trajectory; stopped subtiles
+            # accept nothing ----
+            improved = (cc <= bc_ref[...] + best_cost_eps) & act
 
             txu_begin(0)
             b_begin(0)
@@ -1315,17 +1407,35 @@ def _ilqr_kernel(
             bc_ref[...] = jnp.where(improved, cc, bc_ref[...])
             bdu_ref[...] = jnp.where(improved, cur_du, bdu_ref[...])
 
-            nni = flags_ref[1]
-            nni = jnp.where((it > 0) & jnp.any(improved), 0, nni + 1)
-            flags_ref[1] = nni
-            stop = (jnp.max(cur_du) < eps) | (nni > not_improved_lim)
-            flags_ref[0] = jnp.where(stop, 1, 0)
-            flags_ref[2] = flags_ref[2] + 1
+            # per-subtile stopping rule (mpc.py:293-301 semantics at the
+            # subtile granule); stopped subtiles' counters freeze
+            all_stop = jnp.int32(1)
+            subs = _subtiles(ts)
+            for w in range(n_sub):
+                sl = subs[w]
+                running = run_w[w]
+                imp_w = jnp.any(improved[..., sl, :])
+                nni_w = jnp.where(
+                    (it > 0) & imp_w, 0, flags_ref[1 + n_sub + w] + 1)
+                stop_w = (jnp.max(cur_du[..., sl, :]) < eps) | (
+                    nni_w > not_improved_lim)
+                flags_ref[1 + n_sub + w] = jnp.where(
+                    running, nni_w, flags_ref[1 + n_sub + w])
+                new_stop = jnp.where(
+                    running & stop_w, 1, flags_ref[1 + w])
+                flags_ref[1 + w] = new_stop
+                flags_ref[1 + 2 * n_sub + w] = (
+                    flags_ref[1 + 2 * n_sub + w]
+                    + jnp.where(running, 1, 0))
+                all_stop = all_stop * jnp.where(new_stop > 0, 1, 0)
+            flags_ref[0] = all_stop
 
         return 0
 
     lax.fori_loop(0, lqr_iter, outer_body, 0)
-    it_ref[...] = jnp.full(ts, 1.0, f32) * flags_ref[2].astype(f32)
+    it_ref[...] = _sub_mask(
+        tuple(flags_ref[1 + 2 * n_sub + w].astype(f32)
+              for w in range(n_sub)), ts)
 
 
 # trace-count provenance (tests assert which dispatch path ran)
@@ -1829,7 +1939,7 @@ def _pallas_solve(cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs,
             pltpu.VMEM(ts, f32),                     # du2 (alpha=1)
             pltpu.VMEM(ts, f32),                     # cc
             pltpu.VMEM(ts, f32),                     # old_cost
-            pltpu.SMEM((4,), jnp.int32),             # flags
+            pltpu.SMEM((1 + 3 * (lw // 128),), jnp.int32),  # flags (per-subtile)
         ] + [pltpu.SemaphoreType.DMA((2,))] * (5 + len(in_streams))
     else:
         out_specs = [
@@ -1875,7 +1985,7 @@ def _pallas_solve(cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs,
             pltpu.VMEM(ts, f32),                # du2 (alpha=1)
             pltpu.VMEM(ts, f32),                # cc
             pltpu.VMEM(ts, f32),                # old_cost
-            pltpu.SMEM((4,), jnp.int32),        # flags
+            pltpu.SMEM((1 + 3 * (lw // 128),), jnp.int32),  # flags (per-subtile)
         ] + sem_scratch
 
     def call(*arrays):

@@ -110,15 +110,16 @@ def lqr_backward(
         # unconstrained recursion and for u_zero_I zero-control equality
         # constraints (free-subspace elimination, ops/parallel_riccati.py)
         # -- e.g. the module-KKT backward's auxiliary solve, which runs
-        # once per IFT GMRES iteration. Its n > 3 combine uses batched
-        # jnp.linalg.solve, which has no f64 batched LU on TPU -- that
-        # combination falls back to the sequential scan rather than
+        # once per IFT GMRES iteration. Its n > 3 solves (the [nx,nx]
+        # combine AND the [nu,nu] control elimination) use batched
+        # jnp.linalg.solve, which has no f64 batched LU on TPU -- those
+        # combinations fall back to the sequential scan rather than
         # failing at compile time. The gate keys on jax.default_backend()
         # (trace time cannot see the execution device), so axon-pinned
         # sessions running f64 n>3 on CPU devices conservatively take the
         # sequential path too.
         plqr_ok = not (
-            nx > 3
+            max(nx, nu) > 3
             and C.dtype == jnp.float64
             and jax.default_backend() == "tpu"
         )

@@ -33,7 +33,7 @@ _SOLVE_CACHE: "collections.OrderedDict" = collections.OrderedDict()
 _SOLVE_CACHE_MAX = 64
 
 
-def _struct_key(v, keep):
+def _struct_key(v, keep, _visiting=None):
     """A hashable structural key for executable caching.
 
     numpy arrays key by (shape, dtype, content bytes) -- host-side hash,
@@ -44,7 +44,9 @@ def _struct_key(v, keep):
     Functions key by code object + structural closure contents, so two
     `pendulum.make()` calls produce the SAME key (fresh lambdas over the
     same code); containers recurse; objects (Dynamics) key by type +
-    attributes.
+    attributes. ``_visiting`` guards cyclic reachability (a registry dict
+    holding the function that reads it, a self-referential container):
+    revisited nodes key by type + id instead of recursing forever.
     """
     import types as pytypes
 
@@ -55,18 +57,28 @@ def _struct_key(v, keep):
     if isinstance(v, jax.Array):
         keep.append(v)
         return ("jaxarr", v.shape, str(v.dtype), id(v))
+    if _visiting is None:
+        _visiting = set()
+    if id(v) in _visiting:
+        keep.append(v)  # id stays valid while the entry lives
+        return ("cycle", type(v).__name__, id(v))
+    _visiting = _visiting | {id(v)}
     if isinstance(v, pytypes.FunctionType):
         cells = tuple(
-            _struct_key(c.cell_contents, keep)
+            _struct_key(c.cell_contents, keep, _visiting)
             for c in (v.__closure__ or ())
         )
-        defaults = tuple(_struct_key(d, keep) for d in (v.__defaults__ or ()))
+        defaults = tuple(
+            _struct_key(d, keep, _visiting) for d in (v.__defaults__ or ())
+        )
         # globals the code object actually references are part of the
         # function's behavior too (a module-level constant the user mutates
         # between calls must not structurally collide with the stale key).
         # Referenced functions key by code object only -- no recursion into
         # their own globals, which keeps mutually-recursive helpers finite
-        # at the cost of missing second-order global mutations.
+        # at the cost of missing second-order global mutations. Functions
+        # reached THROUGH containers (a registry dict) likewise stop at the
+        # code object via the _visiting guard.
         gkeys = []
         for name in v.__code__.co_names:
             if name in v.__globals__:
@@ -78,14 +90,19 @@ def _struct_key(v, keep):
                 elif isinstance(g, type):
                     gkeys.append((name, "type", g))
                 else:
-                    gkeys.append((name, _struct_key(g, keep)))
+                    gkeys.append((name, _struct_key(g, keep, _visiting)))
         return ("fn", v.__code__, cells, defaults, tuple(gkeys))
     if isinstance(v, (tuple, list)):
-        return (type(v).__name__,) + tuple(_struct_key(x, keep) for x in v)
+        return (type(v).__name__,) + tuple(
+            _struct_key(x, keep, _visiting) for x in v
+        )
     if isinstance(v, dict):
         return (
             "dict",
-            tuple((k, _struct_key(x, keep)) for k, x in sorted(v.items())),
+            tuple(
+                (k, _struct_key(x, keep, _visiting))
+                for k, x in sorted(v.items())
+            ),
         )
     import dataclasses as dc
 
@@ -93,7 +110,7 @@ def _struct_key(v, keep):
         return (
             type(v),
             tuple(
-                (f.name, _struct_key(getattr(v, f.name), keep))
+                (f.name, _struct_key(getattr(v, f.name), keep, _visiting))
                 for f in dc.fields(v)
             ),
         )
@@ -104,7 +121,7 @@ def _struct_key(v, keep):
         pass
     fields = getattr(v, "__dict__", None)
     if fields:
-        return (type(v), _struct_key(fields, keep))
+        return (type(v), _struct_key(fields, keep, _visiting))
     keep.append(v)
     return ("id", type(v), id(v))
 
@@ -123,11 +140,38 @@ def _shard_map(fn, mesh, in_specs, out_specs):
     raise RuntimeError("no compatible jax.shard_map signature")
 
 
+# kwargs of solve() that can carry a leading batch axis, with the ndim at
+# which they do (batch-major user layouts, core/solver.py:197-206):
+# u_init/u_zero_I/bounds [B,T,nu], prev_ctrl [B,nu]. At lower ranks they
+# are example-invariant and stay compile-time constants.
+_BATCH_KW_NDIM = {
+    "u_init": 3, "u_zero_I": 3, "u_lower": 3, "u_upper": 3, "prev_ctrl": 2,
+}
+
+
+def _split_batch_kwargs(kwargs):
+    """(example-invariant kwargs, per-example kwargs). Per-example ones
+    must travel as jit ARGUMENTS (sharded on their leading batch axis):
+    closing them over would bake a full-B constant into the executable --
+    a shape mismatch inside shard_map's per-device body, and per-process
+    divergent HLO on a multi-host mesh."""
+    static, batched = {}, {}
+    for k, v in kwargs.items():
+        nd = _BATCH_KW_NDIM.get(k)
+        if nd is not None and getattr(v, "ndim", None) == nd:
+            batched[k] = v
+        else:
+            static[k] = v
+    return static, batched
+
+
 def _cached_jit_solve(tag, cfg, quad, lin, cost, dynamics, kwargs,
                       smap=None):
     """Shared executable cache for sharded_solve / multihost_solve:
     structural key (see _struct_key), bounded LRU, id-keyed components
-    kept alive with the entry. Returns the jitted fn.
+    kept alive with the entry. Returns the jitted fn, called as
+    fn(x_init, cost_arrays, dyn_arrays, params, batch_kwargs) where
+    batch_kwargs holds the per-example kwargs (see _split_batch_kwargs).
 
     smap: optional (mesh, axis_name) -- wrap the solve in jax.shard_map
     so each device runs the whole solver on its LOCAL batch shard. This
@@ -138,6 +182,7 @@ def _cached_jit_solve(tag, cfg, quad, lin, cost, dynamics, kwargs,
     kernel's per-tile rule, same equal-or-better-per-example semantics
     (tests/test_fused_mixed_convergence.py); n_iter is pmax'ed back to a
     replicated global max."""
+    static_kw, _ = _split_batch_kwargs(kwargs)
     keep: list = []
     key = (
         tag, cfg, quad, lin,
@@ -151,37 +196,48 @@ def _cached_jit_solve(tag, cfg, quad, lin, cost, dynamics, kwargs,
     entry = _SOLVE_CACHE.get(key)
     if entry is None:
 
-        def base(x_init, cost_arrays, dyn_arrays, params):
+        def base(x_init, cost_arrays, dyn_arrays, params, bkw):
             c = QuadCost(*cost_arrays) if quad else cost
             d = LinDx(*dyn_arrays) if lin else dynamics
-            return solve(cfg, x_init, c, d, params=params, **kwargs)
+            return solve(cfg, x_init, c, d, params=params,
+                         **static_kw, **bkw)
 
         if smap is None:
             fn = jax.jit(base)
         else:
             mesh_, ax = smap
 
-            def local(x_init, cost_arrays, dyn_arrays, params):
-                res = base(x_init, cost_arrays, dyn_arrays, params)
+            def local(x_init, cost_arrays, dyn_arrays, params, bkw):
+                res = base(x_init, cost_arrays, dyn_arrays, params, bkw)
                 return res._replace(
                     n_iter=jax.lax.pmax(res.n_iter, ax))
 
-            def wrapped(x_init, cost_arrays, dyn_arrays, params):
+            def wrapped(x_init, cost_arrays, dyn_arrays, params, bkw):
+                # user layouts are batch-major only at FULL rank
+                # (core/solver.py canonicalizers): C [B,T,n,n] / F
+                # [B,T-1,n,m] at ndim 4, c [B,T,n] / f [B,T-1,n] at
+                # ndim 3; lower ranks are example-invariant ->
+                # replicate. cost/dyn tuples are (C, c) / (F, f).
+                def pair_specs(arrs, full_ranks):
+                    return tuple(
+                        P() if a is None else
+                        (P(ax) if a.ndim == fr else P())
+                        for a, fr in zip(arrs, full_ranks)
+                    )
+
                 in_specs = (
                     P(ax),
-                    jax.tree_util.tree_map(
-                        lambda a: P(ax) if a.ndim == 4 else P(),
-                        cost_arrays),
-                    jax.tree_util.tree_map(
-                        lambda a: P(None, ax), dyn_arrays),
-                    jax.tree_util.tree_map(lambda a: P(), params),
+                    pair_specs(cost_arrays, (4, 3)),
+                    pair_specs(dyn_arrays, (4, 3)),
+                    P(),      # params: replicated
+                    P(ax),    # per-example kwargs: batch-leading
                 )
                 out = SolveResult(
                     x=P(ax), u=P(ax), costs=P(ax), converged=P(ax),
                     full_du_norm=P(ax), n_iter=P(),
                 )
                 return _shard_map(local, mesh_, in_specs, out)(
-                    x_init, cost_arrays, dyn_arrays, params)
+                    x_init, cost_arrays, dyn_arrays, params, bkw)
 
             fn = jax.jit(wrapped)
 
@@ -257,12 +313,16 @@ def sharded_solve(
     if params is not None:
         params = jax.device_put(params, rep)
 
-    # Dynamics objects, callable costs, and scalar kwargs (e.g. bounds)
-    # are closed over the jitted fn so they stay compile-time constants
-    # (concrete bounds bake into the fused kernel; see
-    # ops/pallas/ilqr_fused._static_bounds). The executable cache keys
-    # components *structurally* (see _struct_key) in a bounded LRU shared
-    # with multihost_solve.
+    # Dynamics objects, callable costs, and example-invariant kwargs
+    # (e.g. scalar bounds) are closed over the jitted fn so they stay
+    # compile-time constants (concrete bounds bake into the fused kernel;
+    # see ops/pallas/ilqr_fused._static_bounds). Per-example kwargs
+    # ([B,T,nu] warm starts/masks/bounds) travel as batch-sharded
+    # ARGUMENTS instead -- see _split_batch_kwargs. The executable cache
+    # keys components *structurally* (see _struct_key) in a bounded LRU
+    # shared with multihost_solve.
+    _, batch_kw = _split_batch_kwargs(kwargs)
+    batch_kw = {k: put(jnp.asarray(v)) for k, v in batch_kw.items()}
     if use_shard_map is None:
         use_shard_map = (
             cfg.backend != "xla"
@@ -278,4 +338,5 @@ def sharded_solve(
         tuple(cost) if quad else (),
         tuple(dynamics) if lin else (),
         params,
+        batch_kw,
     )

@@ -295,14 +295,26 @@ def multihost_solve(
     if params is not None:
         params = replicate(mesh, params)
 
-    return _jit_solve(cfg, x_init, cost, dynamics, params, kwargs)
+    return _jit_solve(cfg, x_init, cost, dynamics, params, kwargs,
+                      mesh=mesh, axis_name=axis_name)
 
 
-def _jit_solve(cfg, x_init, cost, dynamics, params, kwargs):
+def _jit_solve(cfg, x_init, cost, dynamics, params, kwargs,
+               mesh=None, axis_name="batch"):
     quad = isinstance(cost, QuadCost)
     lin = isinstance(dynamics, LinDx)
-    from .mesh import _cached_jit_solve
+    from .mesh import _cached_jit_solve, _split_batch_kwargs
 
+    # per-example kwargs ([B_local,T,nu] warm starts/masks/bounds) must be
+    # jit ARGUMENTS sharded like x_init: closing them over would embed
+    # each process's local values as constants -> per-process divergent
+    # HLO on a multi-process mesh.
+    _, batch_kw = _split_batch_kwargs(kwargs)
+    if batch_kw and mesh is not None:
+        batch_kw = {
+            k: distribute_batch(mesh, v, axis_name)
+            for k, v in batch_kw.items()
+        }
     fn = _cached_jit_solve(
         "multihost", cfg, quad, lin, cost, dynamics, kwargs
     )
@@ -311,6 +323,7 @@ def _jit_solve(cfg, x_init, cost, dynamics, params, kwargs):
         tuple(cost) if quad else (),
         tuple(dynamics) if lin else (),
         params,
+        batch_kw,
     )
 
 

@@ -207,6 +207,45 @@ def main():
     ms_x1 = pipelined_ms(lambda x: fx1(x).u, x1, n=5)
     check("rocket T=100 full-stream beats XLA >=3x", ms_x1 / ms_s1 >= 3.0,
           f"{ms_s1:.1f} ms vs {ms_x1:.1f} ms ({ms_x1 / ms_s1:.1f}x)")
+
+    # --- lane widening on hardware: W=2 must be BITWISE equal to W=1 at
+    # eps>0 with the two base tiles stopping at different iterations (the
+    # per-subtile stopping rule + alpha=0 fixed-point trials, round-3);
+    # also report the widened kernel's measured speed ratio ---
+    from dilqr_tpu.ops.pallas.ilqr_fused import ilqr_fused
+
+    pdyn = pendulum.make()
+    pparams = pendulum.default_params()
+    pq, pp = pendulum.get_true_obj()
+    thw = np.concatenate([
+        rng.uniform(-0.05, 0.05, 1024),
+        rng.uniform(np.pi - 0.7, np.pi + 0.7, 1024),
+    ]).astype(np.float32)
+    tjw = jnp.asarray(thw)
+    xw = jnp.stack([jnp.cos(tjw), jnp.sin(tjw), jnp.zeros(2048)], 1)
+    Tw = 10
+    cfgw = ILQRConfig(
+        n_state=3, n_ctrl=1, T=Tw, lqr_iter=12, eps=1e-3,
+        linesearch_decay=pdyn.linesearch_decay,
+        max_linesearch_iter=pdyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    Cw = jnp.broadcast_to(jnp.diag(pq), (Tw, 2048, 4, 4))
+    cw = jnp.broadcast_to(pp, (Tw, 2048, 4))
+    wfn = {}
+    for wv in (1, 2):
+        wfn[wv] = jax.jit(lambda x, wv=wv: ilqr_fused(
+            cfgw, pdyn, pparams, x, Cw, cw, None,
+            u_lower=pdyn.lower, u_upper=pdyn.upper, lanes_width=wv))
+    o1 = jax.device_get(wfn[1](xw))
+    o2 = jax.device_get(wfn[2](xw))
+    bitw = all(np.array_equal(a, b) for a, b in zip(o1, o2))
+    check("lane widening W=2 bitwise == W=1 (eps>0, mixed conv)", bitw)
+    ms_w1 = pipelined_ms(lambda x: wfn[1](x)[1], xw, n=10)
+    ms_w2 = pipelined_ms(lambda x: wfn[2](x)[1], xw, n=10)
+    check("lane widening timing", True,
+          f"W=1 {ms_w1:.2f} ms vs W=2 {ms_w2:.2f} ms "
+          f"({ms_w1 / ms_w2:.2f}x)")
     print("TPU smoke OK")
 
 

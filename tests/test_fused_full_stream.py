@@ -198,3 +198,29 @@ def test_full_stream_widened_bitwise():
         outs[w] = tuple(np.asarray(a) for a in (x, u, costs, du))
     for a, b in zip(outs[1], outs[2]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_full_stream_nan_lane_returns_zeros():
+    """A lane whose trial cost is NaN never passes the accept test
+    (NaN <= inf is false), so its best trajectory must stay the
+    zero-initialized default in EVERY storage mode -- full streaming
+    included, where the best buffer lives in HBM and an uninitialized
+    read-modify-write would otherwise return garbage for that lane."""
+    B, T = 1024, 6
+    cfg, dyn, params, x_init, cost_small = _problem(B, T)
+    # poison one example: NaN x_init propagates to every rollout cost
+    x_init = x_init.at[7].set(jnp.nan)
+    outs = {}
+    for mode in ("none", "full"):
+        x, u, costs, du, it = ilqr_fused(
+            cfg, dyn, params, x_init, None, None, None,
+            u_lower=dyn.lower, u_upper=dyn.upper, cost_small=cost_small,
+            interpret=True, force_stream_k=mode,
+        )
+        outs[mode] = tuple(np.asarray(a) for a in (x, u, costs, du))
+    assert np.all(outs["full"][0][:, 7] == 0.0), "poisoned lane best x"
+    assert np.all(outs["full"][1][:, 7] == 0.0), "poisoned lane best u"
+    assert np.isinf(outs["full"][2][7]), "poisoned lane cost stays inf"
+    for a, b, name in zip(outs["none"], outs["full"],
+                          ("x", "u", "costs", "du")):
+        np.testing.assert_array_equal(a, b, err_msg=name)

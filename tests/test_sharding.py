@@ -202,3 +202,64 @@ def test_sharded_solve_shard_map_eps_cost_bound():
     b = sharded_solve(mesh, cfg, x_init, cost, dyn,
                       use_shard_map=True, **kw)
     assert np.all(np.asarray(b.costs) <= np.asarray(a.costs) + 1e-5)
+
+
+def test_sharded_solve_shard_map_per_example_inputs():
+    """Per-example cost (C [B,T,n,n], c [B,T,n]), batch-major LinDx
+    (F [B,T-1,n,m], f [B,T-1,n]), and batch-shaped kwargs (u_init
+    [B,T,nu]) must shard on their BATCH axis under the shard_map path.
+    The first in_spec heuristic sharded LinDx's time axis and replicated
+    per-example c; batch kwargs were closed over at global B -- all three
+    crashed or mis-sharded inside the per-device body (code review r3)."""
+    import dataclasses
+
+    B, T, n, m = 16, 6, 3, 1
+    rng = np.random.RandomState(5)
+    cfg = ILQRConfig(
+        n_state=n, n_ctrl=m, T=T, lqr_iter=6, eps=0.0,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+        backend="xla",
+    )
+    x_init = jnp.asarray(rng.randn(B, n).astype(np.float32))
+    # per-example quadratic cost, batch-major
+    q = 0.3 * rng.randn(B, T, n + m, n + m).astype(np.float32)
+    C = jnp.asarray(np.einsum("btij,btkj->btik", q, q)
+                    + 0.5 * np.eye(n + m, dtype=np.float32))
+    c = jnp.asarray(0.1 * rng.randn(B, T, n + m).astype(np.float32))
+    # per-example affine dynamics, batch-major (mildly stable)
+    F = jnp.asarray(
+        0.3 * rng.randn(B, T - 1, n, n + m).astype(np.float32))
+    f = jnp.asarray(0.05 * rng.randn(B, T - 1, n).astype(np.float32))
+    u0 = jnp.asarray(0.1 * rng.randn(B, T, m).astype(np.float32))
+
+    from dilqr_tpu.types import LinDx
+
+    cost = QuadCost(C, c)
+    dyn = LinDx(F, f)
+    mesh = batch_mesh(jax.devices()[:8])
+    kw = dict(u_init=u0, u_lower=-2.0, u_upper=2.0)
+    a = sharded_solve(mesh, cfg, x_init, cost, dyn,
+                      use_shard_map=False, **kw)
+    b = sharded_solve(mesh, cfg, x_init, cost, dyn,
+                      use_shard_map=True, **kw)
+    np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(b.costs), np.asarray(a.costs), rtol=1e-5)
+    assert len(b.u.sharding.device_set) == 8
+
+
+def test_struct_key_registry_cycle_terminates():
+    """The registry pattern (a module dict holding the function that reads
+    it) is cyclic reachability: fn -> globals dict -> fn. The key walk must
+    terminate instead of RecursionError (code review r3)."""
+    from dilqr_tpu.parallel.mesh import _struct_key
+
+    ns = {}
+    exec(
+        "REGISTRY = {}\n"
+        "def f(x):\n    return REGISTRY['f'](x)\n"
+        "REGISTRY['f'] = f\n",
+        ns,
+    )
+    k1 = _struct_key(ns["f"], [])
+    assert k1 == _struct_key(ns["f"], [])  # deterministic
