@@ -171,3 +171,54 @@ def test_widened_bitwise_pnqp_bounded_lindx():
     for a, b, name in zip(outs[1], outs[2],
                           ("x", "u", "costs", "du", "it")):
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_widened_bitwise_feature_fuzz(seed):
+    """Random feature combinations (bounds, u_zero_I, warm start, delta_u,
+    nu 1..3, eps 0 or >0, halves conditioned differently) must be bitwise
+    W-invariant -- the per-subtile machinery composes with every kernel
+    feature, not just the curated cases above."""
+    from dilqr_tpu.types import LinDx
+
+    rng = np.random.RandomState(300 + seed)
+    B, T = 2048, 4
+    nu = 1 + seed % 3
+    nx = 3
+    n = nx + nu
+    A = rng.randn(T, B, n, n).astype(np.float32)
+    Cq = jnp.asarray(
+        A @ A.transpose(0, 1, 3, 2) + 2.0 * np.eye(n, dtype=np.float32))
+    cq_np = rng.randn(T, B, n).astype(np.float32)
+    cq_np[:, 1024:] *= float(10.0 ** rng.uniform(0.5, 1.5))
+    cq = jnp.asarray(cq_np)
+    Fx = np.eye(nx, dtype=np.float32) \
+        + 0.05 * rng.randn(T - 1, B, nx, nx).astype(np.float32)
+    Fu = 0.3 * rng.randn(T - 1, B, nx, nu).astype(np.float32)
+    F = jnp.asarray(np.concatenate([Fx, Fu], -1))
+    x0 = jnp.asarray(rng.randn(B, nx).astype(np.float32))
+    eps = float(rng.choice([0.0, 1e-3]))
+    cfg = ILQRConfig(
+        n_state=nx, n_ctrl=nu, T=T, lqr_iter=6, eps=eps,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    kw = {}
+    if rng.rand() < 0.8:
+        kw["u_lower"], kw["u_upper"] = -1.0, 1.0
+        if rng.rand() < 0.4:
+            kw["delta_u"] = 0.7
+    if rng.rand() < 0.5:
+        kw["u_zero_I"] = jnp.asarray(
+            rng.rand(T, B, nu) < 0.15)
+    u0 = (jnp.asarray(0.1 * rng.randn(T, B, nu).astype(np.float32))
+          if rng.rand() < 0.5 else None)
+    outs = {}
+    for w in (1, 2):
+        x, u, costs, du, it = ilqr_fused(
+            cfg, LinDx(F, None), None, x0, Cq, cq, u0,
+            interpret=True, lanes_width=w, **kw)
+        outs[w] = tuple(np.asarray(a) for a in (x, u, costs, du, it))
+    for a, b, name in zip(outs[1], outs[2],
+                          ("x", "u", "costs", "du", "it")):
+        np.testing.assert_array_equal(
+            a, b, err_msg=f"seed={seed} nu={nu} eps={eps} kw={sorted(kw)}")
