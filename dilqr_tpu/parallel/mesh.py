@@ -182,13 +182,20 @@ def _cached_jit_solve(tag, cfg, quad, lin, cost, dynamics, kwargs,
     kernel's per-tile rule, same equal-or-better-per-example semantics
     (tests/test_fused_mixed_convergence.py); n_iter is pmax'ed back to a
     replicated global max."""
-    static_kw, _ = _split_batch_kwargs(kwargs)
+    static_kw, batch_kw = _split_batch_kwargs(kwargs)
     keep: list = []
+    # per-example kwargs are jit ARGUMENTS: key them by (name, shape,
+    # dtype) only -- hashing their contents (or jax.Array identity) would
+    # make every fresh warm-start/bounds array of an MPC loop a cache
+    # miss and a full recompile
     key = (
         tag, cfg, quad, lin,
         None if quad else _struct_key(cost, keep),
         None if lin else _struct_key(dynamics, keep),
-        tuple((k, _struct_key(v, keep)) for k, v in sorted(kwargs.items())),
+        tuple((k, _struct_key(v, keep))
+              for k, v in sorted(static_kw.items())),
+        tuple((k, tuple(v.shape), str(getattr(v, "dtype", "?")))
+              for k, v in sorted(batch_kw.items())),
         None if smap is None else (
             tuple(smap[0].devices.flat), smap[0].axis_names, smap[1]
         ),
@@ -306,10 +313,19 @@ def sharded_solve(
     x_init = put(x_init)
     quad = isinstance(cost, QuadCost)
     lin = isinstance(dynamics, LinDx)
-    if quad and cost.C.ndim == 4:
-        cost = QuadCost(put(cost.C), put(cost.c))
+
+    def put_if(a, full_rank):
+        # batch-major only at FULL rank (core/solver.py canonicalizers);
+        # lower ranks are example-invariant -> replicate, never shard
+        # their leading (time/state) axis
+        if a is None:
+            return None
+        return put(a) if a.ndim == full_rank else jax.device_put(a, rep)
+
+    if quad:
+        cost = QuadCost(put_if(cost.C, 4), put_if(cost.c, 3))
     if lin:
-        dynamics = LinDx(put(dynamics.F), put(dynamics.f))
+        dynamics = LinDx(put_if(dynamics.F, 4), put_if(dynamics.f, 3))
     if params is not None:
         params = jax.device_put(params, rep)
 

@@ -285,13 +285,21 @@ def multihost_solve(
     lin = isinstance(dynamics, LinDx)
 
     x_init = distribute_batch(mesh, x_init, axis_name)
+
+    def place_if(a, full_rank):
+        # batch-major (per-process-local) only at FULL rank (see
+        # core/solver.py canonicalizers); example-invariant lower ranks
+        # replicate -- distributing them would shard the time axis
+        if a is None:
+            return None
+        if a.ndim == full_rank:
+            return distribute_batch(mesh, a, axis_name)
+        return replicate(mesh, a)
+
     if quad:
-        if cost.C.ndim == 4:  # [B_local, T, n, n]: per-example cost
-            cost = QuadCost(*distribute_batch(mesh, tuple(cost), axis_name))
-        else:
-            cost = QuadCost(*replicate(mesh, tuple(cost)))
+        cost = QuadCost(place_if(cost.C, 4), place_if(cost.c, 3))
     if lin:
-        dynamics = LinDx(*distribute_batch(mesh, tuple(dynamics), axis_name))
+        dynamics = LinDx(place_if(dynamics.F, 4), place_if(dynamics.f, 3))
     if params is not None:
         params = replicate(mesh, params)
 

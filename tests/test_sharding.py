@@ -211,8 +211,6 @@ def test_sharded_solve_shard_map_per_example_inputs():
     The first in_spec heuristic sharded LinDx's time axis and replicated
     per-example c; batch kwargs were closed over at global B -- all three
     crashed or mis-sharded inside the per-device body (code review r3)."""
-    import dataclasses
-
     B, T, n, m = 16, 6, 3, 1
     rng = np.random.RandomState(5)
     cfg = ILQRConfig(
@@ -263,3 +261,45 @@ def test_struct_key_registry_cycle_terminates():
     )
     k1 = _struct_key(ns["f"], [])
     assert k1 == _struct_key(ns["f"], [])  # deterministic
+
+
+def test_sharded_solve_example_invariant_lindx_and_cache_stability():
+    """(a) Example-invariant LinDx (F [T-1,n,m], T-1 not divisible by the
+    mesh size) must REPLICATE, not shard its time axis (code review r3:
+    unconditional batch device_put crashed before the solve ran) -- on
+    both the GSPMD and shard_map paths. (b) Fresh same-shape per-example
+    kwargs (an MPC loop's warm starts) must HIT the cached executable:
+    they are jit arguments keyed by (name, shape, dtype), not content."""
+    from dilqr_tpu.parallel import mesh as pmesh
+    from dilqr_tpu.types import LinDx
+
+    B, T, n, m = 16, 4, 3, 1  # T-1 = 3: not divisible by 8
+    rng = np.random.RandomState(11)
+    cfg = ILQRConfig(
+        n_state=n, n_ctrl=m, T=T, lqr_iter=4, eps=0.0,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+        backend="xla",
+    )
+    x_init = jnp.asarray(rng.randn(B, n).astype(np.float32))
+    C = jnp.asarray(np.eye(n + m, dtype=np.float32))
+    c = jnp.asarray(0.1 * rng.randn(n + m).astype(np.float32))
+    F = jnp.asarray(0.3 * rng.randn(T - 1, n, n + m).astype(np.float32))
+    dyn = LinDx(F, None)
+    mesh = batch_mesh(jax.devices()[:8])
+
+    ref = dilqr_tpu.solve(cfg, x_init, QuadCost(C, c), dyn,
+                          u_lower=-2.0, u_upper=2.0)
+    for sm in (False, True):
+        res = sharded_solve(mesh, cfg, x_init, QuadCost(C, c), dyn,
+                            u_lower=-2.0, u_upper=2.0, use_shard_map=sm)
+        np.testing.assert_allclose(np.asarray(res.u), np.asarray(ref.u),
+                                   atol=1e-6, err_msg=f"shard_map={sm}")
+
+    pmesh._SOLVE_CACHE.clear()
+    for step in range(4):
+        u0 = jnp.asarray(
+            0.05 * rng.randn(B, T, m).astype(np.float32))  # fresh array
+        sharded_solve(mesh, cfg, x_init, QuadCost(C, c), dyn,
+                      u_init=u0, u_lower=-2.0, u_upper=2.0)
+    assert len(pmesh._SOLVE_CACHE) == 1, len(pmesh._SOLVE_CACHE)
+    pmesh._SOLVE_CACHE.clear()
