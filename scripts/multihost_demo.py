@@ -114,6 +114,24 @@ def main():
     assert err_solve <= 1e-6, f"distributed solve mismatch: {err_solve:.2e}"
     assert res.u.sharding.is_fully_addressable is (nproc == 1)
 
+    # --- per-example kwargs: a [B_local, T, nu] warm start must travel as
+    # a distributed jit ARGUMENT (closing it over would bake per-process
+    # constants -> divergent HLO across processes; code review r3) ------
+    rng_w = np.random.RandomState(17)
+    u0_full = (0.05 * rng_w.randn(Bg, cfg.T, 1)).astype(np.float32)
+    ref_w = dilqr_tpu.solve(
+        cfg, jnp.asarray(x_full), QuadCost(jnp.diag(q), p), dyn,
+        params=params0, u_init=jnp.asarray(u0_full),
+        u_lower=dyn.lower, u_upper=dyn.upper,
+    )
+    res_w = mh.multihost_solve(
+        mesh, cfg, x_local, QuadCost(jnp.diag(q), p), dyn,
+        params=params0, u_init=jnp.asarray(u0_full[pid * Bl:(pid + 1) * Bl]),
+        u_lower=dyn.lower, u_upper=dyn.upper,
+    )
+    err_warm = float(np.abs(mh.gather(res_w.u) - np.asarray(ref_w.u)).max())
+    assert err_warm <= 1e-6, f"warm-start distributed solve: {err_warm:.2e}"
+
     # collectives audit (SURVEY 2.4: cross-process traffic limited to the
     # scalar stopping-rule / loss reductions): the compiled SPMD module
     # must contain no large-operand collectives -- per-example tensors
