@@ -331,3 +331,54 @@ def test_fused_callable_cost_array_capture_falls_back():
               params=jnp.asarray(pendulum.default_params(), F32),
               u_lower=-2.0, u_upper=2.0)
     assert np.isfinite(np.asarray(r.costs)).all()
+
+
+def test_resident_lanes_entry_matches_standard():
+    """ilqr_fused_lanes (the resident-layout single-kernel entry bench.py
+    drives on-chip) must produce the standard wrapper's results exactly:
+    it skips layout/canonicalization ops, not math."""
+    from dilqr_tpu.models import pendulum
+    from dilqr_tpu.ops.pallas.ilqr_fused import ilqr_fused, ilqr_fused_lanes
+    from dilqr_tpu.ops.pallas.layout import from_lanes, to_lanes
+
+    dyn = pendulum.make()
+    params = pendulum.default_params()
+    q, p = pendulum.get_true_obj()
+    B, T = 1024, 6
+    rng = np.random.RandomState(2)
+    th = rng.uniform(-2, 2, B).astype(np.float32)
+    x_init = jnp.stack(
+        [jnp.cos(jnp.asarray(th)), jnp.sin(jnp.asarray(th)), jnp.zeros(B)],
+        1).astype(jnp.float32)
+    cfg = ILQRConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=4, eps=0.0,
+        linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    n = 4
+    x_s, u_s, c_s, du_s, it_s = ilqr_fused(
+        cfg, dyn, params, x_init, None, None, None,
+        u_lower=float(dyn.lower), u_upper=float(dyn.upper),
+        cost_small=(jnp.diag(q), p), interpret=True,
+    )
+
+    params2d = jnp.asarray(params, jnp.float32).reshape(1, -1)
+    # bench.py's construction: [B, nx] -> [nx, G, 8, 128]
+    xi_lanes = x_init.T.reshape(3, B // 1024, 8, 128)
+    Cs = jnp.asarray(q, jnp.float32).reshape(1, n)
+    cs = jnp.asarray(p, jnp.float32).reshape(1, n)
+    bx, bu, bc, bdu, it_l = ilqr_fused_lanes(
+        cfg, dyn, params2d, xi_lanes, Cs, cs,
+        u_lower=float(dyn.lower), u_upper=float(dyn.upper),
+        interpret=True,
+    )
+    # raw lane outputs [T, d, G, 8, lw] -> [T, B, d]
+    bx_std = from_lanes(bx, T, B)
+    bu_std = from_lanes(bu, T, B)
+    np.testing.assert_array_equal(np.asarray(bx_std), np.asarray(x_s))
+    np.testing.assert_array_equal(np.asarray(bu_std), np.asarray(u_s))
+    np.testing.assert_array_equal(
+        np.asarray(bc).reshape(-1), np.asarray(c_s))
+    np.testing.assert_array_equal(
+        np.asarray(bdu).reshape(-1), np.asarray(du_s))
