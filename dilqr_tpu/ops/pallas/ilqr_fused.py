@@ -1104,6 +1104,7 @@ def _ilqr_kernel(
     # [1+2*n_sub+w] iterations executed. The stopping rule runs per
     # subtile so W>1 is bitwise-equal to W=1.
     n_sub = ts[-1] // 128
+    subs = _subtiles(ts)
     flags_ref[0] = 0
     for w in range(n_sub):
         flags_ref[1 + w] = 0
@@ -1359,8 +1360,6 @@ def _ilqr_kernel(
                 txu_flush(1)
                 return cost, du2
 
-            ones = jnp.ones(ts, f32)
-
             def ls_body(i, alpha):
                 # i == 0 is the unconditional alpha=1 trial whose du2 is
                 # full_du_norm (lqr_step.py:243-245); later iterations
@@ -1379,8 +1378,7 @@ def _ilqr_kernel(
                 return jnp.where(cc_ref[...] > old_cost, alpha * ls_decay,
                                  alpha)
 
-            lax.fori_loop(0, max_ls_iter, ls_body,
-                          jnp.where(act, ones, jnp.zeros(ts, f32)))
+            lax.fori_loop(0, max_ls_iter, ls_body, act.astype(f32))
             cc = cc_ref[...]
             cur_du = jnp.sqrt(du2s_ref[...])
 
@@ -1410,24 +1408,23 @@ def _ilqr_kernel(
             # per-subtile stopping rule (mpc.py:293-301 semantics at the
             # subtile granule); stopped subtiles' counters freeze
             all_stop = jnp.int32(1)
-            subs = _subtiles(ts)
             for w in range(n_sub):
                 sl = subs[w]
                 running = run_w[w]
                 imp_w = jnp.any(improved[..., sl, :])
-                nni_w = jnp.where(
-                    (it > 0) & imp_w, 0, flags_ref[1 + n_sub + w] + 1)
+                nni_prev = flags_ref[1 + n_sub + w]
+                nni_w = jnp.where((it > 0) & imp_w, 0, nni_prev + 1)
                 stop_w = (jnp.max(cur_du[..., sl, :]) < eps) | (
                     nni_w > not_improved_lim)
                 flags_ref[1 + n_sub + w] = jnp.where(
-                    running, nni_w, flags_ref[1 + n_sub + w])
+                    running, nni_w, nni_prev)
                 new_stop = jnp.where(
                     running & stop_w, 1, flags_ref[1 + w])
                 flags_ref[1 + w] = new_stop
                 flags_ref[1 + 2 * n_sub + w] = (
                     flags_ref[1 + 2 * n_sub + w]
                     + jnp.where(running, 1, 0))
-                all_stop = all_stop * jnp.where(new_stop > 0, 1, 0)
+                all_stop = all_stop * new_stop  # both always 0/1
             flags_ref[0] = all_stop
 
         return 0
