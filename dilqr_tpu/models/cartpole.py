@@ -33,7 +33,11 @@ def _step(state, u, params, clamp_u: bool):
 
     uu = u[0]
     if clamp_u:
-        uu = jnp.clip(uu, -FORCE_MAG, FORCE_MAG)
+        # bounds pinned to the operand dtype: jnp.clip materializes
+        # python-float bounds as STRONG f64 under jax_enable_x64,
+        # which Mosaic cannot cast back inside the fused kernel
+        lim = uu.dtype.type(FORCE_MAG)
+        uu = jnp.clip(uu, -lim, lim)
 
     x, dx, cos_th, sin_th, dth = state
     th = atan2(sin_th, cos_th)

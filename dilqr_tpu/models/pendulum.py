@@ -39,7 +39,9 @@ def _step(x, u, params, clamp_u: bool, simple: bool):
         g, m, l, d, b = params
     uu = u[0]
     if clamp_u:
-        uu = jnp.clip(uu, -MAX_TORQUE, MAX_TORQUE)
+        # dtype-pinned bounds: see models/cartpole.py (x64 + Mosaic)
+        lim = uu.dtype.type(MAX_TORQUE)
+        uu = jnp.clip(uu, -lim, lim)
     cos_th, sin_th, dth = x
     th = atan2(sin_th, cos_th)
     if simple:

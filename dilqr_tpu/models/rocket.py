@@ -75,7 +75,9 @@ def _step(x, u, params, clamp_u: bool, normalize_quat: bool):
     w0, w1, w2 = x[10], x[11], x[12]
 
     if clamp_u:
-        T_B = [jnp.clip(u[i], -MAX_THRUST, MAX_THRUST) for i in range(3)]
+        # dtype-pinned bounds: see models/cartpole.py (x64 + Mosaic)
+        _lim = u[0].dtype.type(MAX_THRUST)
+        T_B = [jnp.clip(u[i], -_lim, _lim) for i in range(3)]
     else:
         T_B = [u[0], u[1], u[2]]
 

@@ -415,6 +415,13 @@ def np_prod(shape):
 # ---------------------------------------------------------------------------
 
 
+def _any_lanes(pred):
+    """jnp.any over a bool lanes array, reduced in f32: jnp.any's own
+    reduction materializes a 64-bit intermediate under jax_enable_x64,
+    and Mosaic can only squeeze 32-bit scalars."""
+    return jnp.max(pred.astype(jnp.float32)) > 0.5
+
+
 def _subtiles(ts):
     """Base-tile SUBLANE-row groups of a [*ts] = [8, 128*W] lanes tile.
 
@@ -540,7 +547,10 @@ def _pnqp_lanes(H, q, lb, ub, x0, n_iter, nu):
     def newton(x):
         g = _mv(H, x) + q
         Ic = ((x <= lb) & (g > 0.0)) | ((x >= ub) & (g < 0.0))
-        If = jnp.where(Ic, 0.0, 1.0)
+        # explicit f32: two python-float branches would produce a
+        # WEAK f64 lanes array under jax_enable_x64, poisoning the
+        # downstream products (Mosaic rejects the f64->f32 cast)
+        If = jnp.where(Ic, jnp.float32(0.0), jnp.float32(1.0))
         g_free = g * If
         H_free = H * If[:, None] * If[None] + PNQP_REG * eye
         dx = -_mv(_inv_lanes(H_free, nu), g_free)
@@ -608,7 +618,7 @@ def _pnqp_lanes(H, q, lb, ub, x0, n_iter, nu):
         # per-subtile convergence; a done subtile's x freezes, so its
         # recomputed newton()/If/H_free are idempotent thereafter
         done = tuple(
-            d | ~jnp.any(J[..., sl, :]) for d, sl in zip(done, subs)
+            d | ~_any_lanes(J[..., sl, :]) for d, sl in zip(done, subs)
         )
         new_x = armijo(x, g, dx, J)
         x = jnp.where(_sub_mask(done, ts), x, new_x)
@@ -1213,7 +1223,9 @@ def _ilqr_kernel(
                 if lin_dx:
                     F = F_at(t, -1)  # zero slab at t = T-1 supplied as data
                 else:
-                    F = jnp.where(t < T - 1, lin_at(xt, ut), 0.0)
+                    # f32-pinned zero: a python-float branch promotes to
+                    # a strong f64 under jax_enable_x64 (no Mosaic cast)
+                    F = jnp.where(t < T - 1, lin_at(xt, ut), f32(0.0))
                 tau = jnp.concatenate([xt, ut], axis=0)
                 if cost_mode == "callable":
                     # per-iteration quadraticization (mpc.py:447-487);
@@ -1272,7 +1284,9 @@ def _ilqr_kernel(
                     g = H * kt[0] + qu[0]
                     Ic = ((kt[0] <= lb[0]) & (g > 0.0)) | (
                         (kt[0] >= ub[0]) & (g < 0.0))
-                    If = jnp.where(Ic, 0.0, 1.0)[None]
+                    If = jnp.where(
+                        Ic, jnp.float32(0.0), jnp.float32(1.0)
+                    )[None]  # f32-pinned: see _pnqp_lanes.newton
                     H_free = (H * If[0] + PNQP_REG)[None, None]
                 else:
                     # warm start with next timestep's k (lqr_step.py:135-137)
@@ -1364,7 +1378,7 @@ def _ilqr_kernel(
                 # i == 0 is the unconditional alpha=1 trial whose du2 is
                 # full_du_norm (lqr_step.py:243-245); later iterations
                 # re-trial only while some lane's cost worsened
-                active = (i == 0) | jnp.any(cc_ref[...] > old_cost)
+                active = (i == 0) | _any_lanes(cc_ref[...] > old_cost)
 
                 @pl.when(active)
                 def _():
@@ -1411,7 +1425,7 @@ def _ilqr_kernel(
             for w in range(n_sub):
                 sl = subs[w]
                 running = run_w[w]
-                imp_w = jnp.any(improved[..., sl, :])
+                imp_w = _any_lanes(improved[..., sl, :])
                 nni_prev = flags_ref[1 + n_sub + w]
                 nni_w = jnp.where((it > 0) & imp_w, 0, nni_prev + 1)
                 stop_w = (jnp.max(cur_du[..., sl, :]) < eps) | (

@@ -121,7 +121,9 @@ def _riccati_kernel(T, nx, mode, C_ref, c_ref, F_ref, lb_ref, ub_ref,
             # active set: at a bound AND gradient pushing outward
             # (reference pnqp.py:32-33)
             Ic = ((kt <= lb) & (g > 0.0)) | ((kt >= ub) & (g < 0.0))
-            If = jnp.where(Ic, 0.0, 1.0)
+            # f32-pinned: two python-float branches would make a weak f64
+            # array under jax_enable_x64 (Mosaic rejects f64->f32 casts)
+            If = jnp.where(Ic, jnp.float32(0.0), jnp.float32(1.0))
             H_free = Quu * If + 1e-11
             K = [-(Qux[j] * If) / H_free for j in range(nx)]
         elif mode == "zero":

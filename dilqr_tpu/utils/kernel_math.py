@@ -45,16 +45,30 @@ _TAN_3PI_8 = 2.414213562373095
 
 
 def _poly_atan(x):
-    """atan on [-inf, inf], branchless (where-based) Cephes reduction."""
-    sign = jnp.sign(x)
+    """atan on [-inf, inf], branchless (where-based) Cephes reduction.
+
+    Constants in all-scalar-branch where()s are pinned to x.dtype: two
+    python-float branches would otherwise produce a WEAK f64 array under
+    jax_enable_x64, and Mosaic has no f64->f32 cast."""
+    # np-scalar constants (dt.type): jnp.asarray(v, dt) inside a
+    # trace lowers as an f64 constant + cast under x64, which
+    # Mosaic rejects; numpy scalars are cast on the host
+    dt = x.dtype.type
+    one = dt(1.0)
+    # not jnp.sign: its lowering builds an f64 constant under x64 that
+    # Mosaic cannot cast; sign-of-zero doesn't matter here (poly(0) = 0)
+    sign = jnp.where(x < 0.0, -one, one)
     ax = jnp.abs(x)
     big = ax > _TAN_3PI_8
     mid = (ax > _TAN_PI_8) & ~big
     # guard the divisions on the untaken branches
-    z_big = -1.0 / jnp.where(big, ax, 1.0)
-    z_mid = (ax - 1.0) / jnp.where(mid | big, ax + 1.0, 1.0)
+    z_big = -one / jnp.where(big, ax, one)
+    z_mid = (ax - one) / jnp.where(mid | big, ax + one, one)
     z = jnp.where(big, z_big, jnp.where(mid, z_mid, ax))
-    base = jnp.where(big, jnp.pi / 2, jnp.where(mid, jnp.pi / 4, 0.0))
+    base = jnp.where(
+        big, dt(jnp.pi / 2),
+        jnp.where(mid, dt(jnp.pi / 4), dt(0.0)),
+    )
     zz = z * z
     poly = (((_P0 * zz + _P1) * zz + _P2) * zz + _P3) * zz * z + z
     return sign * (base + poly)
@@ -62,13 +76,15 @@ def _poly_atan(x):
 
 def _poly_atan2(y, x):
     # quadrant correction; (0, 0) -> 0 like numpy/libm
-    z = y / jnp.where(x == 0.0, 1.0, x)
+    dt = y.dtype.type
+    pi_c = dt(jnp.pi)
+    z = y / jnp.where(x == 0.0, dt(1.0), x)
     a = _poly_atan(z)
-    corr = jnp.where(y >= 0.0, jnp.pi, -jnp.pi)
+    corr = jnp.where(y >= 0.0, pi_c, -pi_c)
     on_axis = jnp.where(
         y > 0.0,
-        jnp.pi / 2,
-        jnp.where(y < 0.0, -jnp.pi / 2, 0.0),
+        dt(jnp.pi / 2),
+        jnp.where(y < 0.0, dt(-jnp.pi / 2), dt(0.0)),
     )
     return jnp.where(x > 0.0, a, jnp.where(x < 0.0, a + corr, on_axis))
 
