@@ -112,3 +112,27 @@ def test_lowering_boxed_pnqp_widened():
             u_lower=-1.0, u_upper=1.0, lanes_width=2)[1],
         x0, Cq, cq, F,
     )
+
+
+def test_lowering_riccati_kernel_modes():
+    """The standalone Riccati kernel (ops/pallas/riccati_fused.py) lowers
+    for TPU in all three gain modes (free, boxed, u_zero_I-masked)."""
+    from dilqr_tpu.ops.pallas.riccati_fused import lqr_backward_pallas
+
+    T, B, nx = 6, 1024, 3
+    n = nx + 1
+    rng = np.random.RandomState(0)
+    A = rng.randn(T, B, n, n).astype(np.float32)
+    C = jnp.asarray(A @ A.transpose(0, 1, 3, 2)
+                    + np.eye(n, dtype=np.float32))
+    c = jnp.asarray(rng.randn(T, B, n).astype(np.float32))
+    F = jnp.asarray(0.2 * rng.randn(T - 1, B, nx, n).astype(np.float32))
+    u = jnp.asarray(0.1 * rng.randn(T, B, 1).astype(np.float32))
+    uz = jnp.asarray(rng.rand(T, B, 1) < 0.2)
+
+    for kw in ({}, {"u_lower": -1.0, "u_upper": 1.0}, {"u_zero_I": uz}):
+        with jax.enable_x64(False):
+            jax.jit(
+                lambda C, c, F, u, kw=kw: lqr_backward_pallas(
+                    nx, C, c, F, u, **kw)
+            ).trace(C, c, F, u).lower(lowering_platforms=("tpu",))
