@@ -245,7 +245,7 @@ def solve_with_grad(
                     sT_Ff,
                     lT_xu,
                     (g_x, g_u),
-                    tol=cfg.ift_tol,
+                    tol=cfg.backward_tol,
                     restart=cfg.ift_restart,
                     maxiter=cfg.ift_maxiter,
                 )
@@ -253,7 +253,7 @@ def solve_with_grad(
                 # diagonal across examples and the Krylov solve runs per
                 # example, so one ill-conditioned example in an otherwise
                 # easy batch is detected (and repaired) individually
-                bad_b = res_b > cfg.ift_tol * (b_norm_b + 1e-30)
+                bad_b = res_b > cfg.backward_tol * (b_norm_b + 1e-30)
                 bad = jnp.any(bad_b)
 
                 def _warn(bad_b_, res_b_, b_b_):
@@ -268,7 +268,7 @@ def solve_with_grad(
                             "IFT GMRES adjoint did not converge for "
                             f"{n_bad}/{len(bad_b_)} examples (worst: "
                             f"example {i}, residual {float(res_b_[i]):.3e} "
-                            f"vs tol {cfg.ift_tol:.1e} * "
+                            f"vs tol {cfg.backward_tol:.1e} * "
                             f"||b||={float(b_b_[i]):.3e})"
                             + (
                                 "; falling back to the dense probing solve"

@@ -39,7 +39,7 @@ class MPC:
         delta_u=None,
         verbose: int = 0,
         eps: float = 1e-7,
-        back_eps: float = 1e-7,
+        back_eps: Optional[float] = None,
         n_batch: Optional[int] = None,
         linesearch_decay: float = 0.2,
         max_linesearch_iter: int = 10,
@@ -84,11 +84,22 @@ class MPC:
         self.verbose = verbose
         self.n_batch = n_batch
 
+    def _check_batch(self, x_init):
+        """n_batch semantics: the reference uses it to pin the batch size
+        when shapes can't infer it (mpc.py:102,193-196). Here the batch is
+        always x_init.shape[0]; when given, n_batch validates it."""
+        if self.n_batch is not None and x_init.shape[0] != self.n_batch:
+            raise ValueError(
+                f"x_init batch {x_init.shape[0]} != n_batch={self.n_batch} "
+                "passed to MPC(...)"
+            )
+
     def __call__(self, x_init, cost, dx, params=None, u_init=None):
         """Solve. Returns (x [B,T,nx], u [B,T,nu], costs [B]) like the
         reference forward (mpc.py:337), batch-major. ``u_init`` overrides
         the constructor warm start for this call (the reference mutates
         ``self.u_init`` between receding-horizon calls, rocket.py:1137)."""
+        self._check_batch(x_init)
         res = solve(
             self.cfg,
             x_init,
@@ -106,6 +117,7 @@ class MPC:
 
     def solve(self, x_init, cost, dx, params=None, u_init=None):
         """Full-result variant returning types.SolveResult."""
+        self._check_batch(x_init)
         return solve(
             self.cfg,
             x_init,

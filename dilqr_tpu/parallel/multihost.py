@@ -335,13 +335,24 @@ def _jit_solve(cfg, x_init, cost, dynamics, params, kwargs,
     )
 
 
-def multihost_train_step(mesh: Mesh, cfg: ILQRConfig, dyn, opt):
+def multihost_train_step(mesh: Mesh, cfg: ILQRConfig, dyn, opt,
+                         axis_name: str = "batch"):
     """Build a jitted distributed IL training step: differentiable MPC
-    solve on the globally-sharded batch, imitation loss, gradients (XLA
-    inserts the cross-host psum for the replicated-param gradient
-    reduction), optimizer update. Returns step(params, opt_state,
-    x_init, u_expert, q, p) -> (params, opt_state, loss); feed it arrays
-    from distribute_batch / replicate.
+    solve on the globally-sharded batch, imitation loss, gradients,
+    optimizer update. Returns step(params, opt_state, x_init, u_expert,
+    q, p) -> (params, opt_state, loss); feed it arrays from
+    distribute_batch / replicate.
+
+    The per-example forward+backward runs under jax.shard_map, per device
+    on its LOCAL shard, with explicit lax.pmean reductions of the scalar
+    loss and the replicated-param gradient -- the same treatment
+    mesh.sharded_solve gives the fused forward. Handing the whole
+    differentiated while_loop to GSPMD instead makes its partitioner
+    "involuntarily fully rematerialize" tiny loop-carried tensors across
+    the mesh in the transpose (observed in round 3's dryrun tail), and it
+    cannot partition a Pallas custom call at all. Per-device means are
+    exact: P(axis) shards the batch equally over devices, so
+    pmean-of-means is the global mean.
     """
     import optax
 
@@ -357,17 +368,29 @@ def multihost_train_step(mesh: Mesh, cfg: ILQRConfig, dyn, opt):
         )
         return jnp.mean((res.u - u_expert) ** 2)
 
-    def step(params, opt_state, x_init, u_expert, q, p):
+    def local_step(params, opt_state, x_init, u_expert, q, p):
         loss, grads = jax.value_and_grad(im_loss)(
             params, x_init, u_expert, q, p
+        )
+        loss = jax.lax.pmean(loss, axis_name)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, axis_name), grads
         )
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    dp = NamedSharding(mesh, P("batch"))
+    from .mesh import _shard_map
+
+    dp_s, rep_s = P(axis_name), P()
+    smapped = _shard_map(
+        local_step, mesh,
+        in_specs=(rep_s, rep_s, dp_s, dp_s, rep_s, rep_s),
+        out_specs=(rep_s, rep_s, rep_s),
+    )
+    dp = NamedSharding(mesh, P(axis_name))
     rep = NamedSharding(mesh, P())
     return jax.jit(
-        step,
+        smapped,
         in_shardings=(rep, rep, dp, dp, rep, rep),
         out_shardings=(rep, rep, rep),
     )

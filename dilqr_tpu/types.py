@@ -97,7 +97,15 @@ class ILQRConfig:
     lqr_iter: int = 10
     grad_method: GradMethod = GradMethod.ANALYTIC
     eps: float = 1e-7
-    back_eps: float = 1e-7
+    # Backward-pass solve tolerance (reference mpc.py:137 back_eps,
+    # consumed as the nested backward LQR solver's eps at
+    # lqr_step.py:330-338). Here the only iterative backward solve is the
+    # IFT adjoint (BackwardMode.IFT): back_eps sets its GMRES tolerance
+    # unless ift_tol overrides it. KKT/UNROLL backwards are exact direct
+    # solves with no tolerance, so passing back_eps there is a config
+    # error (the reference silently ignores it in some paths; we refuse
+    # rather than no-op).
+    back_eps: Optional[float] = None
     linesearch_decay: float = 0.2
     max_linesearch_iter: int = 10
     # reference mpc.py:323-324 hard-asserts on non-convergence; a jitted
@@ -154,7 +162,8 @@ class ILQRConfig:
     # measured gradients match the unrolled-autodiff oracle to ~1e-7
     # relative even at tol=1e-3, restart=4 (TPU, pendulum B=256 T=20), so
     # these defaults carry ample margin at ~2x the cost of the minimum.
-    ift_tol: float = 1e-4
+    # None = inherit back_eps when given, else 1e-4 (see backward_tol).
+    ift_tol: Optional[float] = None
     ift_restart: int = 10
     ift_maxiter: int = 2
     # "gmres" (matrix-free, default) or "dense" -- materialize the adjoint
@@ -180,6 +189,25 @@ class ILQRConfig:
     # depth) for UNCONSTRAINED backward passes -- a large-T / small-B
     # option; box/zero-masked solves always use the sequential recursion.
     riccati_parallel: bool = False
+
+    def __post_init__(self):
+        if self.back_eps is not None and self.backward_mode is not BackwardMode.IFT:
+            raise ValueError(
+                "back_eps sets the iterative backward-solve tolerance and "
+                "only BackwardMode.IFT has one (the GMRES adjoint); the "
+                f"{self.backward_mode.name} backward is an exact direct "
+                "solve. Drop back_eps or use backward_mode=BackwardMode.IFT."
+            )
+
+    @property
+    def backward_tol(self) -> float:
+        """Effective IFT adjoint GMRES tolerance: ift_tol if set, else
+        back_eps (the reference's knob name), else 1e-4."""
+        if self.ift_tol is not None:
+            return self.ift_tol
+        if self.back_eps is not None:
+            return self.back_eps
+        return 1e-4
 
     @property
     def n_tau(self) -> int:

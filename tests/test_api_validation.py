@@ -48,6 +48,70 @@ def test_unroll_mode_requires_unroll_flag():
               params=pendulum.default_params())
 
 
+def test_back_eps_rejected_outside_ift():
+    """back_eps names the iterative backward-solve tolerance (reference
+    lqr_step.py:330-338); the KKT/UNROLL backwards are exact direct solves,
+    so accepting-and-ignoring it (the round-3 behavior) hid a real knob
+    from reference ports. It must error, not no-op."""
+    with pytest.raises(ValueError, match="back_eps"):
+        _cfg(back_eps=1e-3)  # default backward_mode is KKT
+    with pytest.raises(ValueError, match="back_eps"):
+        MPC(3, 1, 4, back_eps=1e-3)
+
+
+def test_back_eps_sets_ift_backward_tol():
+    """Under BackwardMode.IFT, back_eps IS the GMRES adjoint tolerance
+    unless ift_tol overrides it."""
+    from dilqr_tpu import BackwardMode
+
+    cfg = _cfg(backward_mode=BackwardMode.IFT, back_eps=1e-9)
+    assert cfg.backward_tol == 1e-9
+    cfg2 = _cfg(backward_mode=BackwardMode.IFT, back_eps=1e-9, ift_tol=1e-3)
+    assert cfg2.backward_tol == 1e-3
+    assert _cfg(backward_mode=BackwardMode.IFT).backward_tol == 1e-4
+
+
+def test_back_eps_plumbed_into_ift_gradient():
+    """End-to-end: gradients computed with back_eps=t equal gradients
+    computed with ift_tol=t (same GMRES stopping), and both run green."""
+    import jax
+
+    from dilqr_tpu import BackwardMode
+
+    dyn = pendulum.make()
+    params = pendulum.default_params()
+    q, p = pendulum.get_true_obj()
+    x0 = jnp.stack([jnp.cos(jnp.asarray([0.5, -0.8])),
+                    jnp.sin(jnp.asarray([0.5, -0.8])),
+                    jnp.zeros(2)], 1)
+
+    def loss(cfg, th):
+        r = solve(cfg, x0, QuadCost(jnp.diag(q), p), dyn, params=th,
+                  u_lower=-2.0, u_upper=2.0)
+        return jnp.mean(r.u ** 2)
+
+    kw = dict(backward_mode=BackwardMode.IFT, eps=1e-6, lqr_iter=10,
+              backprop=True, backend="xla")
+    g_a = jax.grad(lambda t: loss(_cfg(back_eps=1e-8, **kw), t))(params)
+    g_b = jax.grad(lambda t: loss(_cfg(ift_tol=1e-8, **kw), t))(params)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b), rtol=1e-12)
+
+
+def test_n_batch_validates_batch_size():
+    """Reference n_batch pins the batch when shapes can't infer it
+    (mpc.py:102,193-196); here it validates x_init's leading axis."""
+    dyn = pendulum.make()
+    q, p = pendulum.get_true_obj()
+    ctrl = MPC(3, 1, 4, lqr_iter=2, eps=1e-4, exit_unconverged=False,
+               detach_unconverged=False, backprop=False, n_batch=3)
+    with pytest.raises(ValueError, match="n_batch"):
+        ctrl(jnp.zeros((2, 3)), QuadCost(jnp.diag(q), p), dyn,
+             params=pendulum.default_params())
+    x, u, costs = ctrl(jnp.zeros((3, 3)), QuadCost(jnp.diag(q), p), dyn,
+                       params=pendulum.default_params())
+    assert costs.shape == (3,)
+
+
 def test_delta_u_requires_bounds():
     """The reference asserts this combination unsupported
     (lqr_step.py:195); rejecting it keeps the XLA and fused backends from

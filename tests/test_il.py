@@ -41,6 +41,42 @@ def test_nn_mode_trains(tmp_path):
     assert os.path.exists(os.path.join(exp.save, "best.ckpt"))
 
 
+def test_shipped_datasets_load_and_obey_dynamics():
+    """The checked-in expert datasets (data/*.npz, mirroring the
+    reference's data/pendulum.pkl / data/cartpole.pkl consumed at
+    il_exp.py:75-77) must load through the il/exp.py --data path and be
+    physically consistent: every stored transition satisfies
+    x_{t+1} = true_env.step(x_t, u_t) (a regeneration-free integrity
+    check on the artifact), with controls inside the env bounds."""
+    import os
+
+    from dilqr_tpu.models import cartpole as cp_mod
+    from dilqr_tpu.models import pendulum as pd_mod
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, mod in (("pendulum", pd_mod), ("cartpole", cp_mod)):
+        path = os.path.join(repo, "data", f"{name}.npz")
+        assert os.path.exists(path), f"shipped dataset missing: {path}"
+        d = np.load(path)
+        dyn = mod.make()
+        nx, nu = dyn.n_state, dyn.n_ctrl
+        T = int(d["mpc_T"])
+        for split in ("train", "val", "test"):
+            tau = d[split]
+            assert tau.shape[1:] == (T, nx + nu), (name, split, tau.shape)
+            assert np.isfinite(tau).all()
+        tau = jnp.asarray(d["train"][:8])
+        xs, us = tau[:, :, :nx], tau[:, :, nx:]
+        assert float(jnp.abs(us).max()) <= float(jnp.max(jnp.abs(
+            jnp.asarray([dyn.lower, dyn.upper])))) + 1e-5
+        step_b = jax.vmap(jax.vmap(dyn.step, (0, 0, None)), (0, 0, None))
+        x_next = step_b(xs[:, :-1], us[:, :-1], mod.default_params())
+        np.testing.assert_allclose(
+            np.asarray(x_next), np.asarray(xs[:, 1:]), atol=2e-5,
+            err_msg=f"{name}: stored transitions violate the true dynamics",
+        )
+
+
 def test_populate_data2_golden(golden_fixture=None):
     """populate_data2 vs the reference (il_env.py:96-151), f64: same
     initial states (injected -- the reference draws them from torch's RNG),

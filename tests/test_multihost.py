@@ -13,6 +13,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 
 
 def _free_port():
@@ -76,6 +78,7 @@ def test_two_process_cpu_cluster():
     _run_cluster([2, 2])
 
 
+@pytest.mark.slow
 def test_four_process_uneven_cluster():
     """4 processes with HETEROGENEOUS device counts (1+2+1+2 = 6 mesh
     devices) and uneven per-process batches 3+5+2+3 = 13 examples:

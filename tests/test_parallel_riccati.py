@@ -26,7 +26,14 @@ def _problem(T, B, nx, nu, seed=0, dtype=jnp.float64):
     return C, c, F, f, x0
 
 
-@pytest.mark.parametrize("shape", [(6, 3, 4, 1), (32, 2, 3, 2), (512, 1, 4, 2)])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (6, 3, 4, 1),
+        (32, 2, 3, 2),
+        pytest.param((512, 1, 4, 2), marks=pytest.mark.slow),
+    ],
+)
 def test_parallel_matches_sequential_f64(shape):
     T, B, nx, nu = shape
     C, c, F, f, x0 = _problem(T, B, nx, nu)
@@ -89,7 +96,13 @@ def test_riccati_parallel_solve_end_to_end():
     )
 
 
-@pytest.mark.parametrize("shape", [(128, 2, 4, 1), (64, 3, 3, 2)])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        pytest.param((128, 2, 4, 1), marks=pytest.mark.slow),
+        (64, 3, 3, 2),
+    ],
+)
 def test_parallel_masked_matches_sequential_f64(shape):
     """u_zero_I free-subspace masking in the associative-scan Riccati
     (the KKT backward's auxiliary solve, reference lqr_step.py:99-127 /

@@ -109,6 +109,64 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(8)
 
 
+def test_train_step_shard_map_parity_and_audit():
+    """multihost_train_step (the shard_map-wrapped distributed training
+    step) must (a) reproduce the single-device step bit-near-exactly --
+    per-device pmean-of-means equals the global mean at equal shards --
+    and (b) compile to a module whose only collectives are scalar/param
+    sized (no per-example tensor crosses devices in forward OR backward;
+    round 3's plain-GSPMD step rematerialized loop-carried tensors)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dilqr_tpu.parallel.audit import audit_collectives
+    from dilqr_tpu.parallel.multihost import multihost_train_step
+
+    cfg, dyn, params, cost, x_init = _problem(B=16, T=8)
+    q, p = pendulum.get_true_obj()
+    opt = optax.rmsprop(1e-2, decay=0.5)
+    B = x_init.shape[0]
+    rng = np.random.RandomState(5)
+    u_expert = jnp.asarray(
+        0.1 * rng.randn(B, cfg.T, 1).astype(np.float32)
+    )
+
+    # single-device reference step
+    def im_loss(pp, x, ue):
+        r = dilqr_tpu.solve(cfg, x, QuadCost(jnp.diag(q), p), dyn,
+                            params=pp, u_lower=dyn.lower, u_upper=dyn.upper)
+        return jnp.mean((r.u - ue) ** 2)
+
+    def ref_step(pp, st, x, ue):
+        loss, grads = jax.value_and_grad(im_loss)(pp, x, ue)
+        upd, st = opt.update(grads, st, pp)
+        return optax.apply_updates(pp, upd), st, loss
+
+    st0 = opt.init(params)
+    p_ref, _, loss_ref = jax.jit(ref_step)(params, st0, x_init, u_expert)
+
+    mesh = batch_mesh(jax.devices()[:8])
+    dp = NamedSharding(mesh, P("batch"))
+    rep = NamedSharding(mesh, P())
+    step = multihost_train_step(mesh, cfg, dyn, opt)
+    args = (
+        jax.device_put(params, rep), jax.device_put(st0, rep),
+        jax.device_put(x_init, dp), jax.device_put(u_expert, dp),
+        jax.device_put(q, rep), jax.device_put(p, rep),
+    )
+    hlo = step.lower(*args).compile().as_text()
+    colls, big = audit_collectives(hlo, B)
+    assert not big, "per-example collective in train step:\n" + "\n".join(big)
+
+    p_new, _, loss = step(*args)
+    np.testing.assert_allclose(
+        np.asarray(loss), np.asarray(loss_ref), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_new), np.asarray(p_ref), rtol=1e-5, atol=1e-7
+    )
+
+
 def test_entry_compiles():
     import sys
 
