@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--horizon", type=int, default=20)
     ap.add_argument("--lqr-iter", type=int, default=20)
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--gif", action="store_true",
+                    help="animated 3-D landing (viz.rocket_animation)")
     args = ap.parse_args()
 
     B, T = args.batch, args.horizon
@@ -107,6 +109,17 @@ def main():
             np.swapaxes(np.asarray(ep.xs), 0, 1),
             np.swapaxes(np.asarray(ep.us), 0, 1),
             path="rocket_landing.png",
+        )
+        print("wrote", path)
+
+    if args.gif:
+        from dilqr_tpu import viz
+
+        path = viz.rocket_animation(
+            np.swapaxes(np.asarray(ep.xs), 0, 1),
+            np.swapaxes(np.asarray(ep.us), 0, 1),
+            rocket_len=1.0,
+            path="rocket_landing.gif",
         )
         print("wrote", path)
 

@@ -246,6 +246,37 @@ def main():
     check("lane widening timing", True,
           f"W=1 {ms_w1:.2f} ms vs W=2 {ms_w2:.2f} ms "
           f"({ms_w1 / ms_w2:.2f}x)")
+
+    # --- small-state headline: pendulum B=4096 swing-up, auto width vs
+    # forced W=1. The f32 vreg is (8,128) = 1024 slots and the entries-
+    # on-tiles layout already gives every slot a distinct example, so
+    # per-example density cannot rise further at f32 (docs/ROADMAP.md
+    # "sublane packing" post-mortem); the builder-owned lever for n_tau<=4
+    # envs is lane widening (W=4 at 4 base tiles) hiding per-vreg latency
+    # in the single-vreg dependency chains ---
+    Bh = 4096
+    thh = rng.uniform(-1.5, 1.5, Bh).astype(np.float32)
+    tjh = jnp.asarray(thh)
+    xh = jnp.stack([jnp.cos(tjh), jnp.sin(tjh), jnp.zeros(Bh)], 1)
+    Th = 20
+    cfgh = ILQRConfig(
+        n_state=3, n_ctrl=1, T=Th, lqr_iter=12, eps=pdyn.mpc_eps,
+        linesearch_decay=pdyn.linesearch_decay,
+        max_linesearch_iter=pdyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+    )
+    Ch = jnp.broadcast_to(jnp.diag(pq), (Th, Bh, 4, 4))
+    ch = jnp.broadcast_to(pp, (Th, Bh, 4))
+    hfn = {}
+    for wv in (None, 1):
+        hfn[wv] = jax.jit(lambda x, wv=wv: ilqr_fused(
+            cfgh, pdyn, pparams, x, Ch, ch, None,
+            u_lower=pdyn.lower, u_upper=pdyn.upper, lanes_width=wv)[1])
+    ms_auto = pipelined_ms(hfn[None], xh, n=10)
+    ms_1 = pipelined_ms(hfn[1], xh, n=10)
+    check("pendulum B=4096 headline", True,
+          f"auto-W {Bh / ms_auto * 1e3:,.0f} solves/s vs forced W=1 "
+          f"{Bh / ms_1 * 1e3:,.0f} ({ms_1 / ms_auto:.2f}x)")
     print("TPU smoke OK")
 
 

@@ -87,3 +87,28 @@ def test_render_hooks_smoke():
     with tempfile.TemporaryDirectory() as d:
         p = viz.rocket_trajectory(xs, us, path=os.path.join(d, "r.png"))
         assert os.path.exists(p)
+        g = viz.rocket_animation(xs, us, path=os.path.join(d, "r.gif"))
+        assert os.path.exists(g) and os.path.getsize(g) > 0
+
+
+def test_rocket_animation_geometry():
+    """Body segment has the requested length, the tip sits above the tail
+    for an upright rocket, and the flame points opposite the body-frame
+    thrust (the quantities the animation draws, reference
+    rocket.py:961-994)."""
+    from dilqr_tpu import viz
+
+    # upright (identity quaternion), thrust straight down the body axis
+    xs = np.zeros((3, 13), np.float32)
+    xs[:, 0] = [2.0, 1.5, 1.0]   # descending altitude
+    xs[:, 6] = 1.0               # q = (1, 0, 0, 0)
+    us = np.zeros((3, 3), np.float32)
+    us[:, 0] = 8.0               # +x body thrust
+    com, tail, tip, flame = viz._rocket_geometry(xs, us, rocket_len=0.5)
+    np.testing.assert_allclose(
+        np.linalg.norm(tip - tail, axis=1), 0.5, atol=1e-6
+    )
+    assert (tip[:, 0] > tail[:, 0]).all()        # tip above tail
+    # flame extends below the tail, opposite the thrust direction
+    assert (flame[:, 0] < tail[:, 0]).all()
+    np.testing.assert_allclose(flame[:, 1:], tail[:, 1:], atol=1e-6)
