@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..utils.kernel_math import atan2
+from ..utils.kernel_math import rotate_cs
 from .base import Dynamics
 
 DT = 0.05
@@ -40,7 +40,6 @@ def _step(state, u, params, clamp_u: bool):
         uu = jnp.clip(uu, -lim, lim)
 
     x, dx, cos_th, sin_th, dth = state
-    th = atan2(sin_th, cos_th)
 
     cart_in = (uu + polemass_length * dth**2 * sin_th) / total_mass
     th_acc = (gravity * sin_th - cos_th * cart_in) / (
@@ -50,9 +49,12 @@ def _step(state, u, params, clamp_u: bool):
 
     x = x + DT * dx
     dx = dx + DT * xacc
-    th = th + DT * dth  # reference uses the pre-update th_dot (cartpole.py:90)
+    # reference advances by the PRE-update th_dot (cartpole.py:90); the
+    # angle is only advanced and re-embedded, so skip its atan2 recovery
+    # in kernels (rotate_cs; exact sequential form off-kernel)
+    new_cos, new_sin = rotate_cs(cos_th, sin_th, DT * dth)
     dth = dth + DT * th_acc
-    return jnp.stack([x, dx, jnp.cos(th), jnp.sin(th), dth])
+    return jnp.stack([x, dx, new_cos, new_sin, dth])
 
 
 def default_params() -> jnp.ndarray:

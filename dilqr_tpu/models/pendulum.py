@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..utils.kernel_math import atan2
+from ..utils.kernel_math import atan2, rotate_cs
 from .base import Dynamics
 
 DT = 0.05
@@ -43,14 +43,19 @@ def _step(x, u, params, clamp_u: bool, simple: bool):
         lim = uu.dtype.type(MAX_TORQUE)
         uu = jnp.clip(uu, -lim, lim)
     cos_th, sin_th, dth = x
-    th = atan2(sin_th, cos_th)
     if simple:
+        # the angle is only advanced and re-embedded: skip its recovery
+        # (rotate_cs == atan2 -> cos/sin(th + delta) to f32 rounding;
+        # exact sequential form off-kernel)
         newdth = dth + DT * (-3.0 * g / (2.0 * l) * (-sin_th) + 3.0 * uu / (m * l**2))
-    else:
-        sin_th_bias = jnp.sin(th + b)
-        newdth = dth + DT * (
-            -3.0 * g / (2.0 * l) * (-sin_th_bias) + 3.0 * uu / (m * l**2) - d * th
-        )
+        newcos, newsin = rotate_cs(cos_th, sin_th, newdth * DT)
+        return jnp.stack([newcos, newsin, newdth])
+    # the complex variant's damping term -d*th needs the absolute angle
+    th = atan2(sin_th, cos_th)
+    sin_th_bias = jnp.sin(th + b)
+    newdth = dth + DT * (
+        -3.0 * g / (2.0 * l) * (-sin_th_bias) + 3.0 * uu / (m * l**2) - d * th
+    )
     newth = th + newdth * DT
     return jnp.stack([jnp.cos(newth), jnp.sin(newth), newdth])
 

@@ -93,3 +93,33 @@ def atan2(y, x):
     if _in_kernel():
         return _poly_atan2(y, x)
     return jnp.arctan2(y, x)
+
+
+def rotate_cs(cos_th, sin_th, delta):
+    """(cos, sin) of ``atan2(sin_th, cos_th) + delta`` without recovering
+    the angle.
+
+    The pendulum/cartpole steps use the recovered angle ONLY to advance it
+    by one Euler increment and re-embed (reference pendulum.py:78-90,
+    cartpole.py:83-96) -- inside kernels that whole atan2 -> cos/sin
+    round-trip collapses to the angle-addition identities plus one
+    rsqrt renormalization (scale-invariant in (cos_th, sin_th), exactly
+    like the original: atan2 discards the input norm, rsqrt divides it
+    out), saving the ~28-op polynomial atan2 per env-step evaluation --
+    the dominant per-step cost for the small-state envs. Differs from
+    the sequential form only at f32 rounding (few-ulp; the in-kernel
+    _poly_atan2 substitution already concedes that much). Outside
+    kernels the reference's exact sequence is kept so the f64
+    golden-parity tests are unaffected.
+    """
+    if not _in_kernel():
+        th = jnp.arctan2(sin_th, cos_th) + delta
+        return jnp.cos(th), jnp.sin(th)
+    import jax
+
+    cd = jnp.cos(delta)
+    sd = jnp.sin(delta)
+    c = cos_th * cd - sin_th * sd
+    s = sin_th * cd + cos_th * sd
+    r = jax.lax.rsqrt(c * c + s * s)
+    return c * r, s * r

@@ -91,6 +91,40 @@ def test_render_hooks_smoke():
         assert os.path.exists(g) and os.path.getsize(g) > 0
 
 
+def test_rotate_cs_kernel_branch_matches_reference_sequence():
+    """kernel_math.rotate_cs: the in-kernel angle-addition form must match
+    the reference's atan2 -> cos/sin(th + delta) sequence to f32 rounding
+    for any input scale and any delta (the pendulum/cartpole steps route
+    through it inside the fused kernels), and the off-kernel branch must
+    be the EXACT sequential form (f64 golden parity depends on it)."""
+    import jax.numpy as jnp
+
+    from dilqr_tpu.utils.kernel_math import kernel_context, rotate_cs
+
+    rng = np.random.RandomState(0)
+    th = rng.uniform(-np.pi, np.pi, 4096).astype(np.float32)
+    scale = rng.uniform(0.2, 5.0, 4096).astype(np.float32)  # non-unit norm
+    delta = rng.uniform(-30.0, 30.0, 4096).astype(np.float32)
+    c, s = jnp.asarray(scale * np.cos(th)), jnp.asarray(scale * np.sin(th))
+    d = jnp.asarray(delta)
+
+    ref_c = jnp.cos(jnp.arctan2(s, c) + d)
+    ref_s = jnp.sin(jnp.arctan2(s, c) + d)
+
+    off_c, off_s = rotate_cs(c, s, d)
+    assert np.array_equal(np.asarray(off_c), np.asarray(ref_c))
+    assert np.array_equal(np.asarray(off_s), np.asarray(ref_s))
+
+    with kernel_context():
+        kc, ks = rotate_cs(c, s, d)
+    np.testing.assert_allclose(np.asarray(kc), np.asarray(ref_c), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(ks), np.asarray(ref_s), atol=3e-6)
+    # output is unit-norm to rounding (repeated rotations must not drift)
+    np.testing.assert_allclose(
+        np.asarray(kc) ** 2 + np.asarray(ks) ** 2, 1.0, atol=1e-6
+    )
+
+
 def test_rocket_animation_geometry():
     """Body segment has the requested length, the tip sits above the tail
     for an upright rocket, and the flame points opposite the body-frame
