@@ -25,7 +25,11 @@ LQR_ITER = 20
 WATCHDOG_S = 1500  # hard bound on the whole bench; partial JSON on expiry
 
 
-class _Watchdog(Exception):
+class _Watchdog(BaseException):
+    # BaseException, NOT Exception: the one-shot alarm must never be
+    # swallowed by the broad `except Exception` retry/profiler handlers
+    # (the alarm only fires once; consuming it would leave a hung backend
+    # blocking forever with no JSON emitted)
     pass
 
 
@@ -160,7 +164,7 @@ def main():
             + 2 * nx * nx * n + 2 * n * nx * n + 2 * n * nx + 10 + 250
             + 2 * (2 * nu * nx + 2 * n * n + step_f)
         )
-        mean_iters = float(run(x_init)[2])
+        mean_iters = float(out[2])  # from the compile-stage execution
         flops_per_solve = per_t * T * mean_iters
         achieved = flops_per_solve * solves_per_s
         VPU_F32_PEAK = 3.9e12  # v5e: 8x128 lanes x 4 ALUs x ~0.94 GHz

@@ -83,3 +83,22 @@ def receding_horizon(
         us=jnp.swapaxes(us, 0, 1),
         costs=jnp.swapaxes(costs, 0, 1),
     )
+
+
+def open_loop_rollout(step_fn, params, x_init, us):
+    """Execute a FIXED control plan on a plant with no feedback: the
+    baseline a receding-horizon controller is compared against in
+    model-mismatch experiments (the reference demo's contrast case,
+    test_mpc.py:95-113). ``step_fn(x[nx], u[nu], params) -> x'``;
+    ``x_init`` [B, nx]; ``us`` [B, K, nu]. Returns the visited states
+    [B, K+1, nx] including the start."""
+
+    def roll(x0, u_seq):
+        def f(x, u):
+            xn = step_fn(x, u, params)
+            return xn, xn
+
+        _, xs = lax.scan(f, x0, u_seq)
+        return jnp.concatenate([x0[None], xs], axis=0)
+
+    return jax.vmap(roll)(x_init, us)

@@ -389,8 +389,25 @@ def multihost_train_step(mesh: Mesh, cfg: ILQRConfig, dyn, opt,
     )
     dp = NamedSharding(mesh, P(axis_name))
     rep = NamedSharding(mesh, P())
-    return jax.jit(
+    jitted = jax.jit(
         smapped,
         in_shardings=(rep, rep, dp, dp, rep, rep),
         out_shardings=(rep, rep, rep),
     )
+    n_dev = mesh.devices.size
+
+    def step(params, opt_state, x_init, u_expert, q, p):
+        # shard_map (unlike plain GSPMD, which pads implicitly) requires
+        # the global batch divisible by the mesh -- fail with directions
+        # rather than a trace-time shard_map error
+        if x_init.shape[0] % n_dev:
+            raise ValueError(
+                f"global batch {x_init.shape[0]} not divisible by the "
+                f"{n_dev}-device mesh; pad the dataset-remainder batch "
+                "with distribute_batch_padded (mask the loss with its "
+                "validity mask) or drop the remainder"
+            )
+        return jitted(params, opt_state, x_init, u_expert, q, p)
+
+    step.lower = jitted.lower  # for HLO audits (see dryrun_multichip)
+    return step

@@ -121,5 +121,11 @@ def rotate_cs(cos_th, sin_th, delta):
     sd = jnp.sin(delta)
     c = cos_th * cd - sin_th * sd
     s = sin_th * cd + cos_th * sd
-    r = jax.lax.rsqrt(c * c + s * s)
-    return c * r, s * r
+    # zero-norm guard: atan2(0, 0) = 0, so the sequential form returns
+    # (cos delta, sin delta) for a degenerate input -- reproduce that
+    # instead of rsqrt(0) = inf -> NaN poisoning the rest of the solve
+    dt = c.dtype.type
+    nn = c * c + s * s
+    r = jax.lax.rsqrt(jnp.maximum(nn, dt(1e-30)))
+    zero = nn == 0.0
+    return jnp.where(zero, cd, c * r), jnp.where(zero, sd, s * r)

@@ -201,6 +201,13 @@ def rocket_animation(xs, us, rocket_len: float = 0.5, path: str = None,
     ani = animation.FuncAnimation(fig, update, frames=T,
                                   interval=1000 / fps, blit=False)
     if path is not None:
+        if not path.endswith(".gif"):
+            raise ValueError(
+                "rocket_animation writes GIFs (Pillow; no ffmpeg in this "
+                f"environment): got {path!r}. Pass a .gif path, or call "
+                "with path=None and save the returned FuncAnimation with "
+                "a writer of your choice."
+            )
         ani.save(path, writer=animation.PillowWriter(fps=fps))
         plt.close(fig)
         return path

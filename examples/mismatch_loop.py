@@ -78,13 +78,9 @@ def main():
         u_lower=model.lower, u_upper=model.upper,
     )
 
-    def rollout(x, us):
-        def f(xc, u):
-            xn = plant.step(xc, u, plant_params)
-            return xn, xn
-        return jax.lax.scan(f, x, us)[1]
+    from dilqr_tpu.control import open_loop_rollout
 
-    x_ol = jax.vmap(rollout)(x0, res0.u)
+    x_ol = open_loop_rollout(plant.step, plant_params, x0, res0.u)[:, 1:]
 
     n_ol = min(args.steps, cfg.T)
     final_cl = np.asarray(ep.xs[:, -1])

@@ -86,19 +86,14 @@ def test_receding_horizon_model_mismatch_stabilizes():
     # open-loop baseline: execute the FIRST solve's plan on the true plant
     # with no replanning; feedback must beat it on final upright error
     from dilqr_tpu import solve as solve_fn
+    from dilqr_tpu.control import open_loop_rollout
 
     res0 = solve_fn(cfg, x0, QuadCost(jnp.diag(q), p), model,
                     params=model_params,
                     u_lower=model.lower, u_upper=model.upper)
-
-    def rollout_plant(x, us):
-        def f(xc, u):
-            xn = plant.step(xc, u, plant_params)
-            return xn, xn
-        return jax.lax.scan(f, x, us)[0]
-
     n_ol = min(steps, cfg.T)
-    x_ol = jax.vmap(rollout_plant)(x0, res0.u[:, :n_ol])
+    x_ol = open_loop_rollout(plant.step, plant_params, x0,
+                             res0.u[:, :n_ol])[:, -1]
     err_cl = np.abs(1.0 - np.asarray(ep.xs[:, n_ol, 0]))
     err_ol = np.abs(1.0 - np.asarray(x_ol[:, 0]))
     assert err_cl.mean() <= err_ol.mean() + 1e-9, (err_cl, err_ol)

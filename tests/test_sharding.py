@@ -116,6 +116,8 @@ def test_train_step_shard_map_parity_and_audit():
     and (b) compile to a module whose only collectives are scalar/param
     sized (no per-example tensor crosses devices in forward OR backward;
     round 3's plain-GSPMD step rematerialized loop-carried tensors)."""
+    import dataclasses
+
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -123,6 +125,14 @@ def test_train_step_shard_map_parity_and_audit():
     from dilqr_tpu.parallel.multihost import multihost_train_step
 
     cfg, dyn, params, cost, x_init = _problem(B=16, T=8)
+    # a REAL backward: _problem's backprop=False would stop-gradient the
+    # solve and make both sides' grads identically zero (vacuous parity,
+    # and the audited HLO would contain no differentiated solve at all)
+    from dilqr_tpu import BackwardMode
+
+    cfg = dataclasses.replace(
+        cfg, backprop=True, backward_mode=BackwardMode.IFT, backend="xla"
+    )
     q, p = pendulum.get_true_obj()
     opt = optax.rmsprop(1e-2, decay=0.5)
     B = x_init.shape[0]
@@ -165,6 +175,15 @@ def test_train_step_shard_map_parity_and_audit():
     np.testing.assert_allclose(
         np.asarray(p_new), np.asarray(p_ref), rtol=1e-5, atol=1e-7
     )
+    # the step must actually have trained (nonzero grads): a config that
+    # stop-gradients the solve would make this whole test vacuous
+    assert float(np.abs(np.asarray(p_new) - np.asarray(params)).max()) > 0
+
+    # shard_map needs batch % mesh == 0; the wrapper must say so clearly
+    # (before jax's own sharding machinery produces its opaque error)
+    with pytest.raises(ValueError, match="distribute_batch_padded"):
+        step(args[0], args[1], x_init[:15], u_expert[:15],
+             args[4], args[5])
 
 
 def test_entry_compiles():
