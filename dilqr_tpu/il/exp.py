@@ -323,6 +323,25 @@ class ILExp:
         env = ILEnv(env=args.env, mpc_T=args.mpc_T, lqr_iter=args.lqr_iter)
         if args.data is not None:
             d = np.load(args.data)
+            # a dataset fixes its horizon and env (the reference's pickled
+            # IL_Env carries both, il_exp.py:75-77): adopt the stored
+            # mpc_T -- the expert trajectories ARE mpc_T long -- and
+            # refuse a mismatched env rather than train on wrong physics
+            if "env" in d and str(d["env"]) != args.env:
+                raise SystemExit(
+                    f"--data {args.data} was generated for env "
+                    f"'{d['env']}', not '{args.env}'"
+                )
+            if "mpc_T" in d:
+                data_T = int(d["mpc_T"])
+                if data_T != args.mpc_T:
+                    print(
+                        f"--data horizon mpc_T={data_T} overrides "
+                        f"--mpc_T {args.mpc_T} (the expert trajectories "
+                        "fix the horizon)"
+                    )
+                    env = ILEnv(env=args.env, mpc_T=data_T,
+                                lqr_iter=args.lqr_iter)
             env.train_data = d["train"]
             env.val_data = d["val"]
             env.test_data = d["test"]

@@ -54,6 +54,28 @@ def main():
         # start; force the CPU backend via config (as tests/conftest.py)
         jax.config.update("jax_platforms", "cpu")
 
+    # persistent compile cache, one dir PER RANK (concurrent writers to a
+    # shared dir segfault -- CLAUDE.md) and keyed by a host-CPU
+    # fingerprint (stale cross-machine XLA:CPU AOT entries load with
+    # SIGILL warnings -- see tests/conftest.py): the cluster tests are
+    # compile-dominated, ~3x faster warm
+    import hashlib
+
+    fp = "unknown"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    fp = hashlib.md5(line.encode()).hexdigest()[:10]
+                    break
+    except OSError:
+        pass
+    rank = args.process_id if args.process_id is not None else 0
+    jax.config.update(
+        "jax_compilation_cache_dir", f"/tmp/jax_mh_cache_{fp}_r{rank}"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from dilqr_tpu.parallel import multihost as mh
 
     mh.initialize(

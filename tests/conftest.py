@@ -47,7 +47,10 @@ jax.config.update(
         "DILQR_TEST_CACHE", f"/tmp/jax_test_cache_{_cpu_fingerprint()}"
     ),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# 0.3s threshold (not the 1.0 default): the per-module clear_caches
+# below makes shared programs recompile each module, and persisting the
+# mid-sized ones turns those into disk hits
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import numpy as np
 import pytest

@@ -90,8 +90,12 @@ def test_back_eps_plumbed_into_ift_gradient():
                   u_lower=-2.0, u_upper=2.0)
         return jnp.mean(r.u ** 2)
 
-    kw = dict(backward_mode=BackwardMode.IFT, eps=1e-6, lqr_iter=10,
-              backprop=True, backend="xla")
+    # small GMRES budget + no dense-fallback branch: this test checks
+    # PLUMBING equality (same tol -> same program), not accuracy, and the
+    # fallback's lax.cond would compile the whole dense probing solve too
+    kw = dict(backward_mode=BackwardMode.IFT, eps=1e-6, lqr_iter=6,
+              backprop=True, backend="xla", ift_restart=2, ift_maxiter=1,
+              ift_fallback=False)
     g_a = jax.grad(lambda t: loss(_cfg(back_eps=1e-8, **kw), t))(params)
     g_b = jax.grad(lambda t: loss(_cfg(ift_tol=1e-8, **kw), t))(params)
     np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b), rtol=1e-12)

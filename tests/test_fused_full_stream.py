@@ -183,9 +183,11 @@ def test_full_stream_lindx_bitwise():
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_stream_widened_bitwise():
     """Lane widening composes with full streaming: W=2 full-stream
-    bitwise-equal to W=1 full-stream (same examples, wider tiles)."""
+    bitwise-equal to W=1 full-stream (same examples, wider tiles).
+    Slow lane: each feature is bitwise-tested separately by default."""
     B, T = 2048, 5
     cfg, dyn, params, x_init, cost_small = _problem(B, T)
     outs = {}

@@ -36,7 +36,9 @@ def _problem(B, T, lqr_iter=3, eps=0.0):
     return cfg, dyn, params, x_init, C, c
 
 
-@pytest.mark.parametrize("W", [2, 4])
+@pytest.mark.parametrize(
+    "W", [2, pytest.param(4, marks=pytest.mark.slow)]
+)
 def test_widened_bitwise_equals_base(W):
     B, T = 1024 * W, 5
     cfg, dyn, params, x_init, C, c = _problem(B, T)

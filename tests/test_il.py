@@ -77,6 +77,29 @@ def test_shipped_datasets_load_and_obey_dynamics():
         )
 
 
+def test_cli_data_loading_adopts_dataset_horizon():
+    """ILExp.from_cli --data: the stored mpc_T overrides a mismatched
+    --mpc_T (expert trajectories fix the horizon; a raw shape crash was
+    the old behavior) and a wrong --env is refused outright."""
+    import os
+
+    import pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data = os.path.join(repo, "data", "pendulum.npz")
+    exp = ILExp.from_cli([
+        "--mode", "sysid", "--env", "pendulum", "--data", data,
+        "--n_train", "4", "--n_epoch", "1", "--n_batch", "4",
+        "--mpc_T", "6",
+    ])
+    assert exp.env.mpc_T == 20  # from the file, not the flag
+    assert exp.env.train_data.shape[1] == 20
+    with pytest.raises(SystemExit, match="generated for env"):
+        ILExp.from_cli([
+            "--mode", "sysid", "--env", "cartpole", "--data", data,
+        ])
+
+
 def test_populate_data2_golden(golden_fixture=None):
     """populate_data2 vs the reference (il_env.py:96-151), f64: same
     initial states (injected -- the reference draws them from torch's RNG),

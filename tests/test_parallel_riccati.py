@@ -49,7 +49,9 @@ def test_parallel_matches_sequential_f64(shape):
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_ref), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_parallel_f32_long_horizon():
+    # slow lane: f32 stability at T=128 (default lane covers T<=64 f64)
     T, B, nx, nu = 128, 2, 3, 1
     C, c, F, f, x0 = _problem(T, B, nx, nu, dtype=jnp.float32)
     ref = lqr_backward(nx, nu, C, c, F, f, jnp.zeros((T, B, nu), jnp.float32),
@@ -146,10 +148,13 @@ def test_kkt_vjp_parallel_matches_sequential():
         )
 
 
+@pytest.mark.slow
 def test_ift_grad_riccati_parallel_end_to_end():
     """cfg.riccati_parallel threads into the IFT backward's per-GMRES-
     iteration auxiliary solves; gradients must match the sequential
-    backward (f64, box-constrained pendulum)."""
+    backward (f64, box-constrained pendulum). Slow lane: the components
+    are covered by test_kkt_vjp_parallel_matches_sequential and
+    test_riccati_parallel_solve_end_to_end in the default lane."""
     import dataclasses
 
     from dilqr_tpu.core.solver import solve
