@@ -78,7 +78,18 @@ def main():
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(WATCHDOG_S)
     try:
+        import os
+
         import jax
+
+        if os.environ.get("DILQR_BENCH_PLATFORM"):
+            # smoke-test hook: the container's TPU plugin overrides the
+            # JAX_PLATFORMS env var at interpreter start, so forcing a
+            # backend (e.g. cpu, to validate this script's plumbing with
+            # the tunnel down) needs the config API
+            jax.config.update(
+                "jax_platforms", os.environ["DILQR_BENCH_PLATFORM"]
+            )
         import jax.numpy as jnp
         import numpy as np
 

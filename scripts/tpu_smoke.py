@@ -17,6 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import dataclasses
 
 import jax
+
+if os.environ.get("DILQR_BENCH_PLATFORM"):
+    # plumbing smoke-tests with the TPU tunnel down (see bench.py): the
+    # container's sitecustomize overrides JAX_PLATFORMS, so use the config
+    jax.config.update("jax_platforms", os.environ["DILQR_BENCH_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 
