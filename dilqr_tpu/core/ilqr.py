@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..models.base import Dynamics
 from ..ops.riccati import lqr_backward
 from ..ops.rollout import get_traj, lqr_forward
-from ..types import ILQRConfig, LinDx, QuadCost
+from ..types import GradMethod, ILQRConfig, LinDx, QuadCost
 from ..utils.batch import bmv
 from ..utils.loops import bounded_while
 from .linearize import approximate_cost, linearize_dynamics
@@ -42,6 +42,16 @@ class ILQRInternal(NamedTuple):
 def _linearize(cfg: ILQRConfig, dyn, params, x, u):
     if isinstance(dyn, LinDx):
         return dyn.F, dyn.f
+    # ANALYTIC differentiates the UN-clamped physics (the reference's
+    # hand-derived packs do, env_dx/pendulum.py:444-475); AUTO_DIFF must
+    # differentiate the CLAMPED forward instead -- the reference's
+    # autograd path (mpc.py:534-549) takes d(dynamics(x,u)) through the
+    # torque clamp, so saturated controls get ZERO Jacobian columns.
+    # Differential-fuzzed vs the live reference (scripts/
+    # fuzz_vs_reference.py): unbounded pendulum-complex diverged by O(1)
+    # in u before this distinction.
+    lin_fn = (None if cfg.grad_method is GradMethod.AUTO_DIFF
+              else dyn.linearize_point)
     return linearize_dynamics(
         dyn.step,
         params,
@@ -50,7 +60,7 @@ def _linearize(cfg: ILQRConfig, dyn, params, x, u):
         method=cfg.grad_method,
         jacobian_fn=dyn.jacobian,
         fd_eps=cfg.fd_eps,
-        linearize_fn=dyn.linearize_point,
+        linearize_fn=lin_fn,
     )
 
 

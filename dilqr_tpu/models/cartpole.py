@@ -10,6 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..utils.kernel_math import rotate_cs
+from ..utils.batch import clamp_t
 from .base import Dynamics
 
 DT = 0.05
@@ -37,7 +38,7 @@ def _step(state, u, params, clamp_u: bool):
         # python-float bounds as STRONG f64 under jax_enable_x64,
         # which Mosaic cannot cast back inside the fused kernel
         lim = uu.dtype.type(FORCE_MAG)
-        uu = jnp.clip(uu, -lim, lim)
+        uu = clamp_t(uu, -lim, lim)  # torch-derivative clamp (batch.clamp_t)
 
     x, dx, cos_th, sin_th, dth = state
 

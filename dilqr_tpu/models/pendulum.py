@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..utils.kernel_math import atan2, rotate_cs
+from ..utils.batch import clamp_t
 from .base import Dynamics
 
 DT = 0.05
@@ -41,7 +42,7 @@ def _step(x, u, params, clamp_u: bool, simple: bool):
     if clamp_u:
         # dtype-pinned bounds: see models/cartpole.py (x64 + Mosaic)
         lim = uu.dtype.type(MAX_TORQUE)
-        uu = jnp.clip(uu, -lim, lim)
+        uu = clamp_t(uu, -lim, lim)  # torch-derivative clamp (batch.clamp_t)
     cos_th, sin_th, dth = x
     if simple:
         # the angle is only advanced and re-embedded: skip its recovery

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils.batch import clamp_t
 from .base import Dynamics
 
 DT = 0.1
@@ -77,7 +78,7 @@ def _step(x, u, params, clamp_u: bool, normalize_quat: bool):
     if clamp_u:
         # dtype-pinned bounds: see models/cartpole.py (x64 + Mosaic)
         _lim = u[0].dtype.type(MAX_THRUST)
-        T_B = [jnp.clip(u[i], -_lim, _lim) for i in range(3)]
+        T_B = [clamp_t(u[i], -_lim, _lim) for i in range(3)]
     else:
         T_B = [u[0], u[1], u[2]]
 

@@ -1894,7 +1894,13 @@ def _pallas_solve(cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs,
     full = stream == "full"
     n = nx + nu
     step_fn = None if lin_dx else dyn.step
-    lin_fn = None if lin_dx else dyn.linearize_point
+    # same linearization-point rule as core/ilqr._linearize: AUTO_DIFF
+    # differentiates the CLAMPED forward (reference mpc.py:534-549),
+    # ANALYTIC the un-clamped physics
+    lin_fn = None if lin_dx else (
+        dyn.step if cfg.grad_method is GradMethod.AUTO_DIFF
+        else dyn.linearize_point
+    )
     kernel = functools.partial(
         _ilqr_kernel, T, nx, nu, n_params, cfg.lqr_iter, cfg.pnqp_iter,
         cfg.eps, cfg.linesearch_decay, cfg.max_linesearch_iter,

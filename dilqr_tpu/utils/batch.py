@@ -58,6 +58,18 @@ def clamp(x: jax.Array, lower, upper) -> jax.Array:
     return x
 
 
+def clamp_t(x: jax.Array, lower, upper) -> jax.Array:
+    """Clamp with torch.clamp's DERIVATIVE convention: gradient 1 on the
+    closed interval [lower, upper] including the endpoints. jnp.clip
+    (min/max primitives) averages tangents at ties, giving derivative 0.5
+    exactly ON a bound -- and a box-constrained line search parks controls
+    exactly on their bounds, so every saturated Jacobian column through an
+    in-dynamics torque clamp differed from the reference's autograd by 2x
+    (found by scripts/fuzz_vs_reference.py; values are identical either
+    way, only AUTO_DIFF linearizations see this)."""
+    return jnp.where(x > upper, upper, jnp.where(x < lower, lower, x))
+
+
 def inv_small(A: jax.Array) -> jax.Array:
     """Closed-form batched inverse for n <= 3 (reciprocal / Cramer /
     adjugate). Elementwise over the batch -- no LU factorization HLO, which

@@ -1,0 +1,298 @@
+"""Differential fuzz against the LIVE PyTorch reference at /root/reference.
+
+The committed goldens (scripts/make_goldens.py) pin a fixed set of cases;
+this script samples RANDOM box-constrained MPC problems (env, horizon,
+batch, iteration budget, eps, warm start, initial states), runs BOTH the
+reference solver and dilqr_tpu in f64, and compares trajectories, controls,
+and best costs. With qp_solver="pnqp" + backend="xla" the two
+implementations make identical discrete decisions (line-search accepts,
+active sets, best-tracking), so f64 agreement is expected at ~1e-10 —
+any larger divergence is a real semantic bug in one of them.
+
+    python scripts/fuzz_vs_reference.py --cases 30 [--seed 0]
+
+Prints one line per case and a final summary; exit 1 on any mismatch.
+Requires /root/reference (not needed by the test suite; this is a
+development / evidence tool like make_goldens.py).
+"""
+import argparse
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+sys.path.insert(0, REPO)
+sys.modules.setdefault("casadi", types.ModuleType("casadi"))  # rocket.py import
+sys.path.insert(0, REF)
+sys.path.insert(0, os.path.join(REF, "env_dx"))
+
+
+def run_reference(env_name, params64, xinit, T, lqr_iter, eps, u_init,
+                  bounded):
+    import torch
+    from env_dx import cartpole, pendulum
+    from mpc_explicit import MPC as ExMPC
+    from mpc_explicit import GradMethods, QuadCost
+
+    torch.set_default_dtype(torch.float64)
+    if env_name == "pendulum":
+        dx = pendulum.PendulumDx(torch.tensor(params64[:3]))
+    elif env_name == "pendulum-complex":
+        dx = pendulum.PendulumDx(torch.tensor(params64), simple=False)
+    else:
+        dx = cartpole.CartpoleDx(torch.tensor(params64))
+    dx.params = dx.params.detach().to(torch.float64)
+    q, p = dx.get_true_obj()
+    q, p = q.to(torch.float64), p.to(torch.float64)
+    B = xinit.shape[0]
+    Q = torch.diag(q).unsqueeze(0).unsqueeze(0).repeat(T, B, 1, 1)
+    pT = p.unsqueeze(0).repeat(T, B, 1)
+    ctrl = ExMPC(
+        dx.n_state, dx.n_ctrl, T,
+        u_lower=dx.lower if bounded else None,
+        u_upper=dx.upper if bounded else None,
+        u_init=(None if u_init is None
+                else torch.tensor(u_init).transpose(0, 1)),
+        lqr_iter=lqr_iter, verbose=-1,
+        exit_unconverged=False, detach_unconverged=False,
+        linesearch_decay=dx.linesearch_decay,
+        max_linesearch_iter=dx.max_linesearch_iter,
+        # the reference's hand-derived Jacobians only cover the 3-param
+        # pendulum (env_dx/pendulum.py:449 unpacks exactly g, m, l);
+        # the complex variant must take exact autograd -- identical
+        # values to ANALYTIC/jacfwd in f64
+        grad_method=(GradMethods.AUTO_DIFF
+                     if env_name == "pendulum-complex"
+                     else GradMethods.ANALYTIC),
+        eps=eps,
+    )
+    x, u, objs = ctrl(torch.tensor(xinit), QuadCost(Q, pT), dx)
+    return (x.detach().numpy().swapaxes(0, 1),
+            u.detach().numpy().swapaxes(0, 1),
+            objs.detach().numpy(), np.asarray(q), np.asarray(p))
+
+
+def run_ours(env_name, params64, xinit, T, lqr_iter, eps, u_init, bounded,
+             q, p):
+    import jax
+    import jax.numpy as jnp
+
+    from dilqr_tpu import ILQRConfig, QuadCost, solve
+    from dilqr_tpu.models import cartpole, pendulum
+
+    if env_name == "cartpole":
+        dyn = cartpole.make()
+    else:
+        dyn = pendulum.make(simple=env_name == "pendulum")
+    params = jnp.asarray(
+        params64 if env_name != "pendulum" else params64[:3], jnp.float64
+    )
+    from dilqr_tpu import GradMethod
+
+    cfg = ILQRConfig(
+        n_state=dyn.n_state, n_ctrl=dyn.n_ctrl, T=T, lqr_iter=lqr_iter,
+        eps=eps, linesearch_decay=dyn.linesearch_decay,
+        max_linesearch_iter=dyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+        qp_solver="pnqp",  # the reference's exact iteration (CLAUDE.md)
+        backend="xla",
+        # match the reference side's grad method (it must take AUTO_DIFF
+        # for pendulum-complex -- see run_reference); AUTO_DIFF
+        # differentiates the CLAMPED forward on both sides
+        grad_method=(GradMethod.AUTO_DIFF
+                     if env_name == "pendulum-complex"
+                     else GradMethod.ANALYTIC),
+    )
+    res = solve(
+        cfg, jnp.asarray(xinit, jnp.float64),
+        QuadCost(jnp.diag(jnp.asarray(q, jnp.float64)),
+                 jnp.asarray(p, jnp.float64)),
+        dyn, params=params,
+        u_init=None if u_init is None else jnp.asarray(u_init, jnp.float64),
+        u_lower=dyn.lower if bounded else None,
+        u_upper=dyn.upper if bounded else None,
+    )
+    return (np.asarray(res.x), np.asarray(res.u), np.asarray(res.costs))
+
+
+def run_reference_lindx(C, c, F, f, x_init, T, lqr_iter, bound):
+    import mpc as ref_mpc
+    import torch
+
+    torch.set_default_dtype(torch.float64)
+    nx = F.shape[-2]
+    nu = F.shape[-1] - nx
+    kw = {} if bound is None else dict(u_lower=-bound, u_upper=bound)
+    solver = ref_mpc.MPC(
+        nx, nu, T, lqr_iter=lqr_iter, verbose=-1,
+        exit_unconverged=False, detach_unconverged=False,
+        n_batch=x_init.shape[0], eps=1e-7, **kw,
+    )
+    x, u, objs = solver(
+        torch.tensor(x_init),
+        ref_mpc.QuadCost(torch.tensor(C), torch.tensor(c)),
+        ref_mpc.LinDx(torch.tensor(F), torch.tensor(f)),
+    )
+    return (x.detach().numpy().swapaxes(0, 1),
+            u.detach().numpy().swapaxes(0, 1), objs.detach().numpy())
+
+
+def run_ours_lindx(C, c, F, f, x_init, T, lqr_iter, bound):
+    import jax.numpy as jnp
+
+    from dilqr_tpu import ILQRConfig, LinDx, QuadCost, solve
+
+    nx = F.shape[-2]
+    nu = F.shape[-1] - nx
+    cfg = ILQRConfig(
+        n_state=nx, n_ctrl=nu, T=T, lqr_iter=lqr_iter, eps=1e-7,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+        qp_solver="pnqp", backend="xla",
+    )
+    # reference layouts are time-major; ours batch-major
+    res = solve(
+        cfg, jnp.asarray(x_init, jnp.float64),
+        QuadCost(jnp.asarray(C, jnp.float64).swapaxes(0, 1),
+                 jnp.asarray(c, jnp.float64).swapaxes(0, 1)),
+        LinDx(jnp.asarray(F, jnp.float64).swapaxes(0, 1),
+              jnp.asarray(f, jnp.float64).swapaxes(0, 1)),
+        u_lower=None if bound is None else -bound,
+        u_upper=None if bound is None else bound,
+    )
+    return np.asarray(res.x), np.asarray(res.u), np.asarray(res.costs)
+
+
+def sample_lindx_case(rng):
+    T = int(rng.choice([6, 10]))
+    B = int(rng.choice([3, 4]))
+    nx = int(rng.choice([3, 4]))
+    nu = int(rng.choice([1, 2, 3]))
+    n = nx + nu
+    A = rng.randn(T, B, n, n)
+    C = A @ A.swapaxes(-1, -2) + 0.5 * np.eye(n)
+    c = rng.randn(T, B, n)
+    F = 0.3 * rng.randn(T - 1, B, nx, n)
+    F[..., :nx] += np.eye(nx)
+    f = 0.1 * rng.randn(T - 1, B, nx)
+    x_init = rng.randn(B, nx)
+    bound = float(rng.choice([0.5, 1.0])) if rng.rand() < 0.7 else None
+    return dict(C=C, c=c, F=F, f=f, x_init=x_init, T=T,
+                lqr_iter=int(rng.choice([5, 10])), bound=bound)
+
+
+def sample_case(rng):
+    env_name = rng.choice(["pendulum", "cartpole", "pendulum-complex"])
+    # small shape/iter grids so jit compiles are reused across cases
+    T = int(rng.choice([6, 10]))
+    B = int(rng.choice([3, 4]))
+    lqr_iter = int(rng.choice([5, 10]))
+    eps = float(rng.choice([0.0, 1e-3]))
+    bounded = bool(rng.rand() < 0.8)
+    warm = bool(rng.rand() < 0.5)
+    if env_name == "cartpole":
+        nx, nu = 5, 1
+        base = np.array([9.8, 1.0, 0.1, 0.5])
+        params = base * (1.0 + 0.2 * rng.randn(4) * (rng.rand() < 0.5))
+        th = np.pi / 1.05 + 0.3 * rng.randn(B)
+        xinit = np.stack([0.3 * rng.randn(B), 0.3 * rng.randn(B),
+                          np.cos(th), np.sin(th), 0.3 * rng.randn(B)], 1)
+    else:
+        nx, nu = 3, 1
+        base = np.array([10.0, 1.0, 1.0, 0.9, 0.1])
+        params = base.copy()
+        if rng.rand() < 0.5:
+            params[:3] *= 1.0 + 0.2 * rng.randn(3)
+        th = rng.uniform(-np.pi, np.pi, B)
+        xinit = np.stack([np.cos(th), np.sin(th),
+                          rng.uniform(-1, 1, B)], 1)
+    u_init = 0.3 * rng.randn(B, T, nu) if warm else None
+    # cartpole params must stay physical (positive masses/length)
+    params = np.abs(params) + 1e-2
+    return dict(env_name=env_name, params64=params, xinit=xinit, T=T,
+                lqr_iter=lqr_iter, eps=eps, u_init=u_init, bounded=bounded)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--atol", type=float, default=1e-8)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_fuzz_cache")
+
+    rng = np.random.RandomState(args.seed)
+    fails = 0
+    for i in range(args.cases):
+        lindx = rng.rand() < 0.35
+        case = sample_lindx_case(rng) if lindx else sample_case(rng)
+        try:
+            t0 = time.time()
+            if lindx:
+                xr, ur, cr = run_reference_lindx(**case)
+            else:
+                xr, ur, cr, q, p = run_reference(**case)
+            t_ref = time.time() - t0
+            t0 = time.time()
+            if lindx:
+                xo, uo, co = run_ours_lindx(**case)
+            else:
+                xo, uo, co = run_ours(**case, q=q, p=p)
+            t_ours = time.time() - t0
+        except Exception as e:
+            fails += 1
+            name = "lindx" if lindx else case["env_name"]
+            print(f"[ERROR] case {i}: {name} T={case['T']} -> {e!r}",
+                  flush=True)
+            continue
+        du = np.abs(uo - ur).max()
+        dx = np.abs(xo - xr).max()
+        dc = np.abs(co - cr).max()
+        ok = max(du, dx, dc) <= args.atol
+        tie = False
+        if not ok:
+            # eps > 0 admits stopping-rule ties: a 1-ulp difference in
+            # max(full_du_norm) vs eps stops one side an outer iteration
+            # earlier, and each further iteration moves u by < eps -- the
+            # converged iterate is only pinned to eps, so equal costs +
+            # sub-eps control differences are spec-level agreement.
+            # (AUTO_DIFF cases seed the same amplification from forward-
+            # vs reverse-mode Jacobian rounding.) eps == 0 cases have no
+            # such tie and must match at atol.
+            eps_case = float(case.get("eps", 0.0) or 0.0)
+            auto_diff = case.get("env_name") == "pendulum-complex"
+            if (eps_case > 0.0 or auto_diff) and dc <= 1e-8 \
+                    and du <= max(10 * eps_case, 1e-3):
+                tie, ok = True, True
+        fails += not ok
+        if lindx:
+            desc = (f"{'lindx':>16s} T={case['T']:2d} "
+                    f"B={len(case['x_init'])} nu={case['F'].shape[-1] - case['F'].shape[-2]} "
+                    f"iter={case['lqr_iter']:2d} bound={case['bound']}")
+        else:
+            desc = (f"{case['env_name']:>16s} T={case['T']:2d} "
+                    f"B={len(case['xinit'])} iter={case['lqr_iter']:2d} "
+                    f"eps={case['eps']:g} bounded={int(case['bounded'])} "
+                    f"warm={int(case['u_init'] is not None)}")
+        tag = "TIE " if tie else ("PASS" if ok else "FAIL")
+        print(
+            f"[{tag}] case {i}: {desc} "
+            f"|du|={du:.2e} |dx|={dx:.2e} |dc|={dc:.2e} "
+            f"(ref {t_ref:.1f}s, ours {t_ours:.1f}s)",
+            flush=True,
+        )
+    print(f"{args.cases - fails}/{args.cases} cases matched the reference "
+          f"at atol={args.atol:g}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

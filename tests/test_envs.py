@@ -91,3 +91,48 @@ def test_pendulum_complex_variant_solves():
                params=pendulum.default_params(),
                u_lower=dyn.lower, u_upper=dyn.upper)
     assert np.abs(np.asarray(r.u) - np.asarray(r0.u)).max() > 1e-3
+
+
+def test_auto_diff_linearizes_clamped_forward():
+    """GradMethod.AUTO_DIFF must differentiate the CLAMPED env forward
+    (reference mpc.py:534-549 autograds dynamics(x, u), whose torque
+    clamp zeroes saturated Jacobian columns), while ANALYTIC keeps the
+    un-clamped physics (the reference's hand packs, pendulum.py:444-475).
+    Also pins the torch clamp derivative convention: gradient 1 exactly
+    ON the bound (jnp.clip averages ties to 0.5 -- utils/batch.clamp_t).
+    Both distinctions were found by scripts/fuzz_vs_reference.py against
+    the live reference (unbounded pendulum-complex diverged O(1) in u;
+    bounded cases by ~1e-4)."""
+    import jax
+
+    from dilqr_tpu.core.linearize import linearize_dynamics
+    from dilqr_tpu.types import GradMethod
+
+    dyn = pendulum.make()
+    params = pendulum.default_params().astype(jnp.float64)
+    T, B = 3, 2
+    x = jnp.broadcast_to(
+        jnp.asarray([0.5, 0.8660254, 0.3], jnp.float64), (T, B, 3)
+    )
+    # u_t saturated beyond the +-2 torque clamp for t < T-1
+    u = jnp.full((T, B, 1), 5.0, jnp.float64)
+
+    def lin(method):
+        lin_fn = (None if method is GradMethod.AUTO_DIFF
+                  else dyn.linearize_point)
+        return linearize_dynamics(dyn.step, params, x, u, method=method,
+                                  linearize_fn=lin_fn)
+
+    F_ad, _ = lin(GradMethod.AUTO_DIFF)
+    F_an, _ = lin(GradMethod.ANALYTIC)
+    S_ad = np.asarray(F_ad[..., 3:])   # du column
+    S_an = np.asarray(F_an[..., 3:])
+    assert np.all(S_ad == 0.0), "saturated AUTO_DIFF column must be zero"
+    assert np.all(np.abs(S_an) > 0.0), "ANALYTIC stays un-clamped"
+
+    # boundary derivative: torch.clamp passes gradient 1 exactly ON the
+    # bound; clamp_t reproduces that (jnp.clip gives 0.5)
+    from dilqr_tpu.utils.batch import clamp_t
+
+    g = jax.jvp(lambda v: clamp_t(v, -2.0, 2.0), (2.0,), (1.0,))[1]
+    assert g == 1.0, g
