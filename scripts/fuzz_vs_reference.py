@@ -119,7 +119,8 @@ def run_ours(env_name, params64, xinit, T, lqr_iter, eps, u_init, bounded,
     return (np.asarray(res.x), np.asarray(res.u), np.asarray(res.costs))
 
 
-def run_reference_lindx(C, c, F, f, x_init, T, lqr_iter, bound):
+def run_reference_lindx(C, c, F, f, x_init, T, lqr_iter, bound,
+                        u_zero_I=None, delta_u=None):
     import mpc as ref_mpc
     import torch
 
@@ -127,6 +128,10 @@ def run_reference_lindx(C, c, F, f, x_init, T, lqr_iter, bound):
     nx = F.shape[-2]
     nu = F.shape[-1] - nx
     kw = {} if bound is None else dict(u_lower=-bound, u_upper=bound)
+    if u_zero_I is not None:
+        kw["u_zero_I"] = torch.tensor(u_zero_I)
+    if delta_u is not None:
+        kw["delta_u"] = delta_u
     solver = ref_mpc.MPC(
         nx, nu, T, lqr_iter=lqr_iter, verbose=-1,
         exit_unconverged=False, detach_unconverged=False,
@@ -141,7 +146,8 @@ def run_reference_lindx(C, c, F, f, x_init, T, lqr_iter, bound):
             u.detach().numpy().swapaxes(0, 1), objs.detach().numpy())
 
 
-def run_ours_lindx(C, c, F, f, x_init, T, lqr_iter, bound):
+def run_ours_lindx(C, c, F, f, x_init, T, lqr_iter, bound,
+                   u_zero_I=None, delta_u=None):
     import jax.numpy as jnp
 
     from dilqr_tpu import ILQRConfig, LinDx, QuadCost, solve
@@ -162,6 +168,9 @@ def run_ours_lindx(C, c, F, f, x_init, T, lqr_iter, bound):
               jnp.asarray(f, jnp.float64).swapaxes(0, 1)),
         u_lower=None if bound is None else -bound,
         u_upper=None if bound is None else bound,
+        u_zero_I=(None if u_zero_I is None
+                  else jnp.asarray(u_zero_I).swapaxes(0, 1)),
+        delta_u=delta_u,
     )
     return np.asarray(res.x), np.asarray(res.u), np.asarray(res.costs)
 
@@ -180,8 +189,14 @@ def sample_lindx_case(rng):
     f = 0.1 * rng.randn(T - 1, B, nx)
     x_init = rng.randn(B, nx)
     bound = float(rng.choice([0.5, 1.0])) if rng.rand() < 0.7 else None
+    # feature knobs (reference lqr_step.py:99-127, 200-213): zero-control
+    # constraints anywhere; the delta_u trust region requires bounds
+    uz = (rng.rand(T, B, nu) < 0.3) if rng.rand() < 0.4 else None
+    delta_u = (float(rng.choice([0.2, 0.5]))
+               if (bound is not None and rng.rand() < 0.4) else None)
     return dict(C=C, c=c, F=F, f=f, x_init=x_init, T=T,
-                lqr_iter=int(rng.choice([5, 10])), bound=bound)
+                lqr_iter=int(rng.choice([5, 10])), bound=bound,
+                u_zero_I=uz, delta_u=delta_u)
 
 
 def sample_case(rng):
@@ -276,7 +291,9 @@ def main():
         if lindx:
             desc = (f"{'lindx':>16s} T={case['T']:2d} "
                     f"B={len(case['x_init'])} nu={case['F'].shape[-1] - case['F'].shape[-2]} "
-                    f"iter={case['lqr_iter']:2d} bound={case['bound']}")
+                    f"iter={case['lqr_iter']:2d} bound={case['bound']} "
+                    f"uz={int(case['u_zero_I'] is not None)} "
+                    f"du={case['delta_u']}")
         else:
             desc = (f"{case['env_name']:>16s} T={case['T']:2d} "
                     f"B={len(case['xinit'])} iter={case['lqr_iter']:2d} "
