@@ -436,13 +436,23 @@ def _subtiles(ts):
 
 def _sub_mask(flags, ts):
     """Broadcast one scalar per subtile back to a [*ts] lanes array
-    (concatenating along the sublane-row axis -2)."""
+    (concatenating along the sublane-row axis -2).
+
+    Bool flags move as f32 0/1 and compare back: Mosaic stores i1
+    vectors in mask registers and the sublane-offset relayout a W>1
+    concat needs lowers to a tpu.bitcast_vreg i1->i32 that
+    apply-vector-layout rejects ("Invalid vector register cast",
+    surfaced at first on-device compile of the widened kernel)."""
     n_sub = len(flags)
     r = ts[-2] // n_sub
+    as_bool = flags[0].dtype == jnp.bool_
+    if as_bool and n_sub > 1:
+        flags = [f.astype(jnp.float32) for f in flags]
     parts = [
         jnp.broadcast_to(f, tuple(ts[:-2]) + (r, ts[-1])) for f in flags
     ]
-    return parts[0] if n_sub == 1 else jnp.concatenate(parts, axis=-2)
+    out = parts[0] if n_sub == 1 else jnp.concatenate(parts, axis=-2)
+    return out > 0.5 if (as_bool and n_sub > 1) else out
 
 
 # ---------------------------------------------------------------------------
@@ -617,8 +627,11 @@ def _pnqp_lanes(H, q, lb, ub, x0, n_iter, nu):
         J = jnp.sqrt((dx * dx).sum(0)) >= PNQP_CONV
         # per-subtile convergence; a done subtile's x freezes, so its
         # recomputed newton()/If/H_free are idempotent thereafter
+        # (slice J as f32: a sublane slice of an i1 mask vreg needs a
+        # bitcast relayout Mosaic rejects, same hazard as _sub_mask)
+        Jf = J.astype(jnp.float32)
         done = tuple(
-            d | ~_any_lanes(J[..., sl, :]) for d, sl in zip(done, subs)
+            d | ~_any_lanes(Jf[..., sl, :]) for d, sl in zip(done, subs)
         )
         new_x = armijo(x, g, dx, J)
         x = jnp.where(_sub_mask(done, ts), x, new_x)
@@ -1422,10 +1435,11 @@ def _ilqr_kernel(
             # per-subtile stopping rule (mpc.py:293-301 semantics at the
             # subtile granule); stopped subtiles' counters freeze
             all_stop = jnp.int32(1)
+            impf = improved.astype(f32)  # f32 slices: i1 relayout hazard
             for w in range(n_sub):
                 sl = subs[w]
                 running = run_w[w]
-                imp_w = _any_lanes(improved[..., sl, :])
+                imp_w = _any_lanes(impf[..., sl, :])
                 nni_prev = flags_ref[1 + n_sub + w]
                 nni_w = jnp.where((it > 0) & imp_w, 0, nni_prev + 1)
                 stop_w = (jnp.max(cur_du[..., sl, :]) < eps) | (
