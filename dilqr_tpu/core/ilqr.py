@@ -31,6 +31,26 @@ from ..utils.loops import bounded_while
 from .linearize import approximate_cost, linearize_dynamics
 
 
+def _target_platform(x) -> str:
+    """Platform the solve will execute on: the committed platform of a
+    concrete (eager) array, else ``jax.default_backend()``.
+
+    The container's TPU plugin keeps ``jax.default_backend() == "tpu"``
+    even for programs running on CPU devices (e.g. a virtual CPU mesh);
+    sniffing the committed devices lets EAGER CPU-array calls dispatch to
+    the XLA path without an explicit ``backend="xla"``. Tracers carry no
+    device, so jitted traces still key on the default backend.
+    """
+    try:
+        devices = x.devices()  # tracers: AttributeError/Concretization
+        plats = {d.platform for d in devices}
+        if len(plats) == 1:
+            return plats.pop()
+    except Exception:
+        pass
+    return jax.default_backend()
+
+
 class ILQRInternal(NamedTuple):
     x: jax.Array  # [T, B, nx] best trajectory
     u: jax.Array  # [T, B, nu]
@@ -221,7 +241,7 @@ def ilqr_loop(
 
         if use_fused and cfg.backend == "pallas":
             # forced: compiled on TPU, interpreter elsewhere (tests)
-            return fused_call(interpret=jax.default_backend() != "tpu")
+            return fused_call(interpret=_target_platform(x_init) != "tpu")
 
     dyn_roll = dyn if isinstance(dyn, LinDx) else (dyn.step, params)
 
@@ -289,13 +309,16 @@ def ilqr_loop(
         )
         return ILQRInternal(bx, bu, bc, bdu, i)
 
-    if use_fused and jax.default_backend() == "tpu":
-        # backend="auto" keys on jax.default_backend() at trace time. A
-        # lowering-time platform switch (lax.platform_dependent) does not
-        # work here: it lowers ALL branches and pallas_call has no compiled
-        # CPU lowering. Programs that target CPU devices while a TPU
-        # plugin is registered (e.g. a virtual CPU mesh) must pass
-        # backend="xla" explicitly.
+    if use_fused and _target_platform(x_init) == "tpu":
+        # backend="auto" keys on the committed platform of the (eager)
+        # x_init when it has one, else jax.default_backend() at trace
+        # time. A lowering-time platform switch (lax.platform_dependent)
+        # does not work here: it lowers ALL branches and pallas_call has
+        # no compiled CPU lowering. Programs that trace for CPU devices
+        # under jit while a TPU plugin is registered (e.g. a virtual CPU
+        # mesh -- tracers carry no device) must pass backend="xla"
+        # explicitly; EAGER calls on CPU-committed arrays dispatch
+        # correctly without it.
         try:
             return fused_call(interpret=False)
         except ValueError as e:

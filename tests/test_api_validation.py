@@ -126,3 +126,24 @@ def test_delta_u_requires_bounds():
     with pytest.raises(ValueError, match="delta_u requires"):
         solve(_cfg(), jnp.zeros((2, 3)), QuadCost(jnp.diag(q), p), dyn,
               params=pendulum.default_params(), delta_u=0.3)
+
+
+def test_eager_cpu_arrays_dispatch_xla_under_tpu_default(monkeypatch):
+    """The container's TPU plugin keeps jax.default_backend() == "tpu"
+    even for CPU-mesh programs; an eager solve on CPU-committed arrays
+    must key on the arrays' committed platform (core/ilqr._target_platform)
+    and take the XLA loop instead of compiling a Pallas kernel for CPU."""
+    import dilqr_tpu.core.ilqr as ilqr_mod
+
+    monkeypatch.setattr(ilqr_mod.jax, "default_backend", lambda: "tpu")
+    dyn = pendulum.make()
+    q, p = pendulum.get_true_obj()
+    th = np.linspace(-1.0, 1.0, 4, dtype=np.float32)
+    x0 = jnp.stack([jnp.cos(jnp.asarray(th)), jnp.sin(jnp.asarray(th)),
+                    jnp.zeros(4)], axis=1)
+    # fused_supported holds for this problem, so with the old
+    # default_backend() key this would hand a compiled pallas_call to the
+    # CPU backend; committed-device sniffing routes it to XLA instead
+    r = solve(_cfg(lqr_iter=4), x0, QuadCost(jnp.diag(q), p), dyn,
+              params=pendulum.default_params(), u_lower=-2.0, u_upper=2.0)
+    assert np.isfinite(np.asarray(r.costs)).all()
