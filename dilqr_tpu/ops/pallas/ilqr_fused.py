@@ -72,6 +72,14 @@ from .layout import (BT, LaneView, bspec, expand_bound, from_lanes,
 
 MAX_NU = 8  # nu <= 3 uses closed-form inverses, 4..8 unrolled Gauss-Jordan
 
+# perf-bisection hook (scripts/_perf_probe.py): trace-time ablations that
+# deliberately BREAK solve semantics to attribute kernel time. Never set
+# in production; "" (default) is the real kernel.
+#   nolin  -- F := 0 (skips the per-column jvp linearization sweep)
+#   noric  -- Riccati loop body reduced to zero-gain writes
+import os as _os
+_KERNEL_PROBE = _os.environ.get("DILQR_KERNEL_PROBE", "")
+
 # pnqp constants (reference pnqp.py:8,33-37)
 PNQP_REG = 1e-11
 PNQP_GAMMA = 0.1
@@ -1207,6 +1215,10 @@ def _ilqr_kernel(
 
             def ric_body(i, _c):
                 t = T - 1 - i
+                if _KERNEL_PROBE == "noric":  # timing ablation only
+                    kk_write(i, t, jnp.zeros((nu, nx) + ts, f32),
+                             jnp.zeros((nu,) + ts, f32))
+                    return 0
                 V = V_ref[...]           # [nx,nx,8,128]
                 v = v_ref[...]           # [nx,8,128]
                 xt, ut = xu_at(t, -1)
@@ -1235,6 +1247,8 @@ def _ilqr_kernel(
 
                 if lin_dx:
                     F = F_at(t, -1)  # zero slab at t = T-1 supplied as data
+                elif _KERNEL_PROBE == "nolin":  # timing ablation only
+                    F = jnp.zeros((nx, n) + ts, f32)
                 else:
                     # f32-pinned zero: a python-float branch promotes to
                     # a strong f64 under jax_enable_x64 (no Mosaic cast)
