@@ -97,8 +97,16 @@ def main():
         from dilqr_tpu.models import cartpole
 
         # persistent compile cache: repeated runs skip the ~20-40s TPU
-        # compiles (throughput is measured post-compile, unaffected)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+        # compiles (throughput is measured post-compile, unaffected).
+        # Keyed by host-CPU fingerprint: under DILQR_BENCH_PLATFORM=cpu
+        # this directory would hold XLA:CPU AOT executables that can
+        # SIGILL after a VM migration (same hazard tests/conftest.py keys
+        # against).
+        from dilqr_tpu.utils.platform import cpu_cache_fingerprint
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            f"/tmp/jax_tpu_cache_{cpu_cache_fingerprint()}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
         stage = "backend_init"

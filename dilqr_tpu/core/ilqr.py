@@ -31,24 +31,9 @@ from ..utils.loops import bounded_while
 from .linearize import approximate_cost, linearize_dynamics
 
 
-def _target_platform(x) -> str:
-    """Platform the solve will execute on: the committed platform of a
-    concrete (eager) array, else ``jax.default_backend()``.
-
-    The container's TPU plugin keeps ``jax.default_backend() == "tpu"``
-    even for programs running on CPU devices (e.g. a virtual CPU mesh);
-    sniffing the committed devices lets EAGER CPU-array calls dispatch to
-    the XLA path without an explicit ``backend="xla"``. Tracers carry no
-    device, so jitted traces still key on the default backend.
-    """
-    try:
-        devices = x.devices()  # tracers: AttributeError/Concretization
-        plats = {d.platform for d in devices}
-        if len(plats) == 1:
-            return plats.pop()
-    except Exception:
-        pass
-    return jax.default_backend()
+from ..utils.platform import target_platform as _target_platform  # noqa: E402
+# (re-exported under the historical name; see utils/platform.py for the
+# committed-platform-vs-default-backend dispatch rationale)
 
 
 class ILQRInternal(NamedTuple):
@@ -103,9 +88,18 @@ def lqr_step(
     u_upper=None,
     u_zero_I=None,
     delta_u=None,
+    backend: Optional[str] = None,
 ):
     """One backward+forward iLQR sweep (reference LQRStepFn.forward,
-    lqr_step.py:277-309). Returns (new_x, new_u, LqrForOut, n_qp_iter)."""
+    lqr_step.py:277-309). Returns (new_x, new_u, LqrForOut, n_qp_iter).
+
+    ``backend``: resolved execution backend for the Riccati dispatch --
+    callers that can see the committed platform of eager inputs (e.g.
+    ilqr_loop via _target_platform(x_init)) pass "xla" for CPU execution
+    so the scan body (where everything is a tracer) never hands a
+    compiled Pallas kernel to a CPU device. Defaults to cfg.backend."""
+    if backend is None:
+        backend = cfg.backend
     T = cfg.T
     F, f = _linearize(cfg, dyn, params, x, u)
     C, c = _quadraticize(cfg, cost, x, u)
@@ -128,7 +122,7 @@ def lqr_step(
         qp_solver=cfg.qp_solver,
         # Pallas kernels have no autodiff rules; the unrolled-autodiff
         # oracle must stay on the pure-XLA path
-        backend="xla" if cfg.unroll else cfg.backend,
+        backend="xla" if cfg.unroll else backend,
         parallel=cfg.riccati_parallel,
     )
     dyn_roll = dyn if isinstance(dyn, LinDx) else (dyn.step, params)
@@ -245,6 +239,16 @@ def ilqr_loop(
 
     dyn_roll = dyn if isinstance(dyn, LinDx) else (dyn.step, params)
 
+    # Resolve the Riccati backend HERE, where x_init may still be a
+    # committed eager array: inside the while_loop body everything is a
+    # tracer, so lqr_backward's own platform sniff would fall back to
+    # jax.default_backend() (== "tpu" under the axon plugin) and compile a
+    # Pallas kernel for a CPU execution (ADVICE r4: reproduced for the
+    # eager nu==1/f32 case).
+    eff_backend = cfg.backend
+    if eff_backend == "auto" and _target_platform(x_init) != "tpu":
+        eff_backend = "xla"
+
     def iteration(u):
         x = get_traj(T, u, x_init, dyn_roll)
         return lqr_step(
@@ -259,6 +263,7 @@ def ilqr_loop(
             u_upper=u_upper,
             u_zero_I=u_zero_I,
             delta_u=delta_u,
+            backend=eff_backend,
         )
 
     inf = jnp.full((B,), jnp.inf, dtype)

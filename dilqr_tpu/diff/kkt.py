@@ -34,6 +34,7 @@ from jax import lax
 
 from ..ops.riccati import lqr_backward
 from ..utils.batch import bger, bmv, btr
+from ..utils.platform import target_platform
 
 
 class KKTGrads(NamedTuple):
@@ -72,7 +73,7 @@ def lqr_solve_linear(
     if parallel and not (
         max(n_state, n_ctrl) > 3  # [nx,nx] combine OR [nu,nu] elimination
         and C.dtype == jnp.float64
-        and jax.default_backend() == "tpu"  # no f64 batched LU (riccati.py)
+        and target_platform(C) == "tpu"  # no f64 batched LU (riccati.py)
     ):
         from ..ops.parallel_riccati import plqr_solve
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..core.ilqr import ilqr_loop
 from ..core.linearize import approximate_cost, linearize_dynamics
 from ..utils.batch import bmv as bmv_ein
+from ..utils.platform import target_platform
 from ..models.base import Dynamics
 from ..types import BackwardMode, ILQRConfig, LinDx, QuadCost
 from .ift import solve_adjoint_dense, solve_adjoint_fixed_point
@@ -291,7 +292,7 @@ def solve_with_grad(
                 # warning and can set ift_solver="dense" off-device.
                 fb_ok = cfg.ift_fallback and not (
                     g_x.dtype == jnp.float64
-                    and jax.default_backend() == "tpu"
+                    and target_platform(g_x) == "tpu"
                 )
                 if fb_ok:
                     # a weakly-contracting fixed point (under-converged

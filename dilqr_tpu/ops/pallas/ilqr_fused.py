@@ -79,6 +79,21 @@ MAX_NU = 8  # nu <= 3 uses closed-form inverses, 4..8 unrolled Gauss-Jordan
 #   noric  -- Riccati loop body reduced to zero-gain writes
 import os as _os
 _KERNEL_PROBE = _os.environ.get("DILQR_KERNEL_PROBE", "")
+if _KERNEL_PROBE not in ("", "nolin", "noric"):
+    raise ValueError(
+        f"DILQR_KERNEL_PROBE={_KERNEL_PROBE!r} is not a known ablation "
+        "(expected 'nolin' or 'noric', or unset); refusing to guess -- "
+        "probe values silently change solve semantics"
+    )
+if _KERNEL_PROBE:
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"DILQR_KERNEL_PROBE={_KERNEL_PROBE!r}: the fused kernel is "
+        "running a timing ABLATION with broken solve semantics; results "
+        "are for perf attribution only",
+        stacklevel=2,
+    )
 
 # pnqp constants (reference pnqp.py:8,33-37)
 PNQP_REG = 1e-11

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..utils.batch import bger, bmm, bmv, btr, clamp, solve_psd
+from ..utils.platform import target_platform
 from .pnqp import pnqp
 
 
@@ -114,14 +115,16 @@ def lqr_backward(
         # combine AND the [nu,nu] control elimination) use batched
         # jnp.linalg.solve, which has no f64 batched LU on TPU -- those
         # combinations fall back to the sequential scan rather than
-        # failing at compile time. The gate keys on jax.default_backend()
-        # (trace time cannot see the execution device), so axon-pinned
-        # sessions running f64 n>3 on CPU devices conservatively take the
-        # sequential path too.
+        # failing at compile time. The gate keys on the committed
+        # platform of C when it is a concrete eager array, else
+        # jax.default_backend() (trace time cannot see the execution
+        # device) -- so axon-pinned JITTED f64 n>3 programs on CPU
+        # devices conservatively take the sequential path, while eager
+        # CPU-array calls use the parallel scan.
         plqr_ok = not (
             max(nx, nu) > 3
             and C.dtype == jnp.float64
-            and jax.default_backend() == "tpu"
+            and target_platform(C) == "tpu"
         )
         if plqr_ok:
             from .parallel_riccati import plqr_backward
@@ -135,7 +138,12 @@ def lqr_backward(
         # path below, which applies q_t += F^T V f_t.
         from .pallas import lqr_backward_pallas, pallas_supported
 
-        on_tpu = jax.default_backend() == "tpu"
+        # committed-platform sniff (utils/platform.py): an EAGER call on
+        # CPU-committed arrays must take the XLA scan even though the axon
+        # plugin keeps jax.default_backend() == "tpu" (compiled Pallas
+        # kernels have no CPU lowering); tracers fall back to the default
+        # backend as before.
+        on_tpu = target_platform(C) == "tpu"
         if pallas_supported(nu, C.dtype, u_zero_I, qp_solver, boxed) and (
             backend == "pallas" or on_tpu
         ):

@@ -340,9 +340,13 @@ def sharded_solve(
     _, batch_kw = _split_batch_kwargs(kwargs)
     batch_kw = {k: put(jnp.asarray(v)) for k, v in batch_kw.items()}
     if use_shard_map is None:
+        # key on the MESH's device platform, not jax.default_backend():
+        # under the axon plugin a virtual CPU mesh still reports a "tpu"
+        # default backend, but the shard_map fused path compiles Pallas
+        # kernels, which only lower for the devices actually in the mesh
         use_shard_map = (
             cfg.backend != "xla"
-            and jax.default_backend() == "tpu"
+            and mesh.devices.flat[0].platform == "tpu"
             and mesh.devices.size > 1
         )
     fn = _cached_jit_solve(

@@ -23,8 +23,14 @@ if os.environ.get("DILQR_BENCH_PLATFORM"):
     # container's sitecustomize overrides JAX_PLATFORMS, so use the config
     jax.config.update("jax_platforms", os.environ["DILQR_BENCH_PLATFORM"])
 # persistent compile cache: repeated evidence captures skip the ~20-40s
-# per-program TPU compiles (timings are post-compile, unaffected)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+# per-program TPU compiles (timings are post-compile, unaffected).
+# CPU-fingerprinted for the same reason as tests/conftest.py: with
+# DILQR_BENCH_PLATFORM=cpu the cache holds XLA:CPU AOT executables that
+# must not survive a VM migration to a different-ISA host.
+from dilqr_tpu.utils.platform import cpu_cache_fingerprint  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_tpu_cache_{cpu_cache_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
@@ -265,9 +271,22 @@ def main():
           bool(np.isfinite(cs1).all()),
           f"(xla finite: {int(np.isfinite(cx1).sum())}/{B2})")
     med_s, med_x = float(np.median(cs1)), float(np.median(cx1))
-    check("rocket T=100 fused cost quality >= xla",
-          med_s <= 1.05 * med_x,
+    # distribution-level quality bound: median AND p90 (a regression
+    # diverging on up to half the lanes would still pass a median-only
+    # check), with slack measured in the spread of the FINITE xla costs
+    # rather than a multiplicative factor (which inverts for negative
+    # costs; this landing cost is positive today, but the check must not
+    # silently flip if the cost offset ever changes)
+    cx_f = cx1[np.isfinite(cx1)]
+    slack = 0.05 * max(float(np.std(cx_f)), 1e-6 * abs(med_x), 1e-30)
+    p90_s = float(np.percentile(cs1, 90))
+    p90_x = float(np.percentile(cx_f, 90))
+    check("rocket T=100 fused cost quality >= xla (median)",
+          med_s <= med_x + slack,
           f"median fused {med_s:.4g} vs xla {med_x:.4g}")
+    check("rocket T=100 fused cost quality >= xla (p90)",
+          p90_s <= p90_x + slack,
+          f"p90 fused {p90_s:.4g} vs xla {p90_x:.4g}")
     ms_s1 = pipelined_ms(lambda x: fs1(x).u, x1, n=5)
     ms_x1 = pipelined_ms(lambda x: fx1(x).u, x1, n=5)
     check("rocket T=100 full-stream beats XLA >=3x", ms_x1 / ms_s1 >= 3.0,

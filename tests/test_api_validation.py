@@ -133,17 +133,53 @@ def test_eager_cpu_arrays_dispatch_xla_under_tpu_default(monkeypatch):
     even for CPU-mesh programs; an eager solve on CPU-committed arrays
     must key on the arrays' committed platform (core/ilqr._target_platform)
     and take the XLA loop instead of compiling a Pallas kernel for CPU."""
+    import importlib
+
     import dilqr_tpu.core.ilqr as ilqr_mod
+    import dilqr_tpu.ops.pallas as pmod
+
+    # the package __init__ rebinds the name `ilqr_fused` to the FUNCTION,
+    # so `import ... as` would alias that; fetch the submodule explicitly
+    fmod = importlib.import_module("dilqr_tpu.ops.pallas.ilqr_fused")
 
     monkeypatch.setattr(ilqr_mod.jax, "default_backend", lambda: "tpu")
+    # the fused megakernel and the fused Riccati both lack a compiled CPU
+    # lowering; if either is invoked non-interpreted this test must fail
+    # loudly rather than depend on the lowering error's wording
+    fs_results = []
+    real_fs = fmod.fused_supported
+
+    def spy_fs(*a, **k):
+        r = real_fs(*a, **k)
+        fs_results.append(r)
+        return r
+
+    def boom(*a, **k):
+        raise AssertionError("compiled Pallas kernel dispatched for CPU")
+
+    monkeypatch.setattr(fmod, "fused_supported", spy_fs)
+    monkeypatch.setattr(fmod, "ilqr_fused", boom)
+    real_rb = pmod.lqr_backward_pallas  # riccati.py binds via the package
+    monkeypatch.setattr(
+        pmod, "lqr_backward_pallas",
+        lambda *a, interpret=False, **k: boom() if not interpret
+        else real_rb(*a, interpret=True, **k))
     dyn = pendulum.make()
     q, p = pendulum.get_true_obj()
-    th = np.linspace(-1.0, 1.0, 4, dtype=np.float32)
-    x0 = jnp.stack([jnp.cos(jnp.asarray(th)), jnp.sin(jnp.asarray(th)),
-                    jnp.zeros(4)], axis=1)
-    # fused_supported holds for this problem, so with the old
-    # default_backend() key this would hand a compiled pallas_call to the
-    # CPU backend; committed-device sniffing routes it to XLA instead
-    r = solve(_cfg(lqr_iter=4), x0, QuadCost(jnp.diag(q), p), dyn,
-              params=pendulum.default_params(), u_lower=-2.0, u_upper=2.0)
+    # fully float32: under the suite's jax_enable_x64, a single f64 leaf
+    # (e.g. jnp.zeros(4)) promotes x0 and makes fused_supported False for
+    # the wrong reason, passing vacuously on pre-fix code (ADVICE r4)
+    th = jnp.asarray(np.linspace(-1.0, 1.0, 4, dtype=np.float32))
+    x0 = jnp.stack([jnp.cos(th), jnp.sin(th),
+                    jnp.zeros(4, jnp.float32)], axis=1)
+    assert x0.dtype == jnp.float32
+    r = solve(_cfg(lqr_iter=4), x0,
+              QuadCost(jnp.diag(q).astype(jnp.float32),
+                       p.astype(jnp.float32)),
+              dyn, params=pendulum.default_params().astype(jnp.float32),
+              u_lower=-2.0, u_upper=2.0)
+    # non-vacuous: the fused path was genuinely on the table (the ONLY
+    # reason it was skipped is the committed-CPU-platform dispatch)
+    assert fs_results and any(fs_results), (
+        "test setup no longer reaches a fused_supported=True config")
     assert np.isfinite(np.asarray(r.costs)).all()
