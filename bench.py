@@ -22,7 +22,11 @@ REF_SOLVES_PER_S = 108.0  # BASELINE.md: cartpole B=64 T=20 lqr_iter=20, CPU
 B = 4096
 T = 20
 LQR_ITER = 20
-WATCHDOG_S = 1500  # hard bound on the whole bench; partial JSON on expiry
+WATCHDOG_S = 2100  # hard bound on the whole bench; partial JSON on expiry
+# (round 5 added the differentiation-path + large-B stages: ~4 more
+# compiles on a cold cache; stage order puts the headline first and the
+# optional stages carry per-stage try/except, so expiry still emits
+# everything measured so far)
 
 
 class _Watchdog(BaseException):
@@ -162,15 +166,22 @@ def main():
         # 3 rounds to damp scheduler/thermal noise.
         stage = "wall_throughput"
         n_rep = 20
-        best_dt = float("inf")
-        for _ in range(3):
+        rates = []
+        for _ in range(5):
             t0 = time.perf_counter()
             outs = [run(x_init) for _ in range(n_rep)]
             jax.block_until_ready(outs)
-            best_dt = min(best_dt, (time.perf_counter() - t0) / n_rep)
-        solves_per_s = B / best_dt
+            rates.append(B / ((time.perf_counter() - t0) / n_rep))
+        solves_per_s = max(rates)
         result["value"] = round(solves_per_s, 1)
         result["vs_baseline"] = round(solves_per_s / REF_SOLVES_PER_S, 2)
+        # run-to-run spread of the 5 per-round rates: BENCH_r04 (driver)
+        # vs the same-night EVIDENCE_r04 capture differed 7% -- without a
+        # recorded spread, round-over-round deltas below that alias with
+        # real regressions
+        rs = sorted(rates)
+        result["value_spread"] = [round(rs[0], 1), round(rs[len(rs) // 2], 1),
+                                  round(rs[-1], 1)]
 
         # ---- roofline accounting (useful-FLOP model of the fused solve) --
         # per example per iLQR iteration, cartpole (nx=5, nu=1, n=6):
@@ -256,6 +267,115 @@ def main():
             jax.block_until_ready(outs)
             best2 = min(best2, (time.perf_counter() - t0) / 10)
         result["b16384_solves_per_s"] = round(B2 / best2, 1)
+
+        # ---- the differentiation path (the paper's contribution) ----
+        # IFT forward+backward throughput: same cartpole headline problem,
+        # value_and_grad of an imitation loss w.r.t. the DYNAMICS
+        # parameters through the converged solve (BackwardMode.IFT).
+        # Captured in a BENCH artifact for the first time in round 5.
+        stage = "ift_fwd_bwd"
+        import dataclasses
+
+        from dilqr_tpu import BackwardMode
+
+        cfg_ift = dataclasses.replace(
+            cfg, backprop=True, detach_unconverged=True,
+            backward_mode=BackwardMode.IFT)
+        try:
+            def im_loss(params, x_init):
+                res = solve(
+                    cfg_ift, x_init, QuadCost(jnp.diag(q), p), dyn,
+                    params=params, u_lower=dyn.lower, u_upper=dyn.upper)
+                return jnp.mean(res.u ** 2)
+
+            run_ift = jax.jit(jax.value_and_grad(im_loss))
+            outi = run_ift(params, x_init)
+            jax.block_until_ready(outi)
+            besti = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs = [run_ift(params, x_init) for _ in range(10)]
+                jax.block_until_ready(outs)
+                besti = min(besti, (time.perf_counter() - t0) / 10)
+            result["ift_fwd_bwd_solves_per_s"] = round(B / besti, 1)
+            result["ift_fwd_bwd_ms"] = round(besti * 1e3, 3)
+        except Exception as e:
+            result["ift_fwd_bwd_error"] = repr(e)[:160]
+
+        # full imempc training step (il/exp.py semantics): differentiable
+        # MPC + imitation loss + IFT gradients w.r.t. (cost logits, dyn
+        # params) with the sigma(q-logit)/sqrt(q)*p-hat reparameterization
+        # + RMSprop update -- examples/s a production trainer would see
+        stage = "train_step"
+        try:
+            import optax
+
+            opt = optax.rmsprop(1e-2, decay=0.5)
+            p_hat = p / jnp.sqrt(jnp.maximum(q, 1e-8))
+            # logit init of the sigmoid reparameterization, clipped into
+            # sigmoid's range (il_exp.py:330-334 learns q = sigma(logit))
+            qc = jnp.clip(q, 1e-4, 0.999)
+            q_logit0 = jnp.log(qc / (1.0 - qc))
+
+            def train_loss(leaves, x_init, u_expert):
+                q_logit, dparams = leaves
+                qq = jax.nn.sigmoid(q_logit)
+                pp = jnp.sqrt(qq) * p_hat
+                res = solve(
+                    cfg_ift, x_init, QuadCost(jnp.diag(qq), pp), dyn,
+                    params=dparams, u_lower=dyn.lower, u_upper=dyn.upper)
+                return jnp.mean((res.u - u_expert) ** 2)
+
+            @jax.jit
+            def train_step(leaves, opt_state, x_init, u_expert):
+                loss, g = jax.value_and_grad(train_loss)(
+                    leaves, x_init, u_expert)
+                updates, opt_state = opt.update(g, opt_state, leaves)
+                return optax.apply_updates(leaves, updates), opt_state, loss
+
+            leaves0 = (q_logit0, params)
+            opt_state0 = opt.init(leaves0)
+            u_exp = jnp.zeros((B, T, 1), jnp.float32)
+            outt = train_step(leaves0, opt_state0, x_init, u_exp)
+            jax.block_until_ready(outt)
+            bestt = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                st = (leaves0, opt_state0)
+                for _ in range(10):
+                    l_, o_, _loss = train_step(st[0], st[1], x_init, u_exp)
+                    st = (l_, o_)
+                jax.block_until_ready(st)
+                bestt = min(bestt, (time.perf_counter() - t0) / 10)
+            result["train_step_ex_per_s"] = round(B / bestt, 1)
+            result["train_step_ms"] = round(bestt * 1e3, 3)
+        except Exception as e:
+            result["train_step_error"] = repr(e)[:160]
+
+        # large-B asymptote: the per-call floor (~1 ms on this tunneled
+        # runtime) fully amortized. README's "~3M at B=64k-128k" claim is
+        # pinned (or corrected) here; per-stage try/except so an HBM
+        # limit records an error without losing the rest of the run
+        for B3 in (65536, 131072):
+            stage = f"b{B3}"
+            try:
+                th3 = jnp.asarray(
+                    np.pi / 1.05 + 0.1 * rng.randn(B3), jnp.float32)
+                x3 = jnp.stack(
+                    [jnp.zeros(B3), jnp.zeros(B3), jnp.cos(th3),
+                     jnp.sin(th3), jnp.zeros(B3)], axis=1)
+                out3 = run(x3)
+                jax.block_until_ready(out3)
+                best3 = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    outs = [run(x3) for _ in range(5)]
+                    jax.block_until_ready(outs)
+                    best3 = min(best3, (time.perf_counter() - t0) / 5)
+                result[f"b{B3}_solves_per_s"] = round(B3 / best3, 1)
+                del out3, outs, x3
+            except Exception as e:
+                result[f"b{B3}_error"] = repr(e)[:120]
 
         # profiler-derived MFU: same useful-FLOP model divided by the
         # DEVICE-side kernel time from a jax.profiler trace (excludes host
