@@ -169,6 +169,86 @@ def _adjoint_scan(n_state, C, F, x, u, cvec, parallel: bool = False):
     return rev(lams_rev)
 
 
+def make_kkt_vjp(
+    n_state: int,
+    n_ctrl: int,
+    C: jax.Array,
+    c: jax.Array,
+    F: jax.Array,
+    x: jax.Array,
+    u: jax.Array,
+    u_zero_I: Optional[jax.Array] = None,
+    with_f: bool = True,
+    backend: str = "auto",
+    parallel: bool = False,
+):
+    """Factory for the module-KKT VJP at a fixed solution point: returns
+    ``vjp(g_x, g_u, wants="full"|"Ff") -> KKTGrads``, linear in the
+    cotangents.
+
+    The IFT backward applies this operator once per GMRES iteration with
+    ``wants="Ff"`` (it only consumes dF/df there; dC/dc and their
+    [T,B,n,n] outer products are skipped), then once with the full
+    outputs. Building the operator ONCE lets the fused TPU path
+    (ops/pallas/kkt_fused.py) pre-lane the cotangent-invariant problem
+    data outside the GMRES while_loop.
+
+    Dispatch: the whole VJP (auxiliary Riccati + rollout + both adjoint
+    recursions + assembly) runs as ONE Pallas kernel per batch tile when
+    supported (nu <= 3, f32, VMEM-resident; backend "auto" on a TPU
+    execution platform, or forced "pallas" -- interpret off-TPU);
+    otherwise the lax.scan path below. ``parallel``
+    (cfg.riccati_parallel) opts into O(log T)-depth associative scans
+    instead and takes precedence over the fused kernel (its use case --
+    very large T -- exceeds the kernel's VMEM budget anyway).
+    """
+    if backend != "xla" and not parallel:
+        from ..ops.pallas.kkt_fused import (kkt_fused_supported,
+                                            make_kkt_vjp_pallas)
+
+        T = C.shape[0]
+        if kkt_fused_supported(T, n_state, n_ctrl, C.dtype, True):
+            on_tpu = target_platform(C) == "tpu"
+            if backend == "pallas" or on_tpu:
+                call = make_kkt_vjp_pallas(
+                    n_state, n_ctrl, C, c, F, x, u, u_zero_I=u_zero_I,
+                    interpret=not on_tpu,
+                )
+
+                def vjp_fused(g_x, g_u, wants: str = "full") -> KKTGrads:
+                    full = wants == "full"
+                    dxi, dC, dc, dF, df = call(g_x, g_u, full)
+                    if not with_f:
+                        df = jnp.zeros_like(df)
+                    return KKTGrads(dxi, dC, dc, dF, df)
+
+                return vjp_fused
+
+    def vjp_xla(g_x, g_u, wants: str = "full") -> KKTGrads:
+        r = jnp.concatenate([g_x, g_u], axis=-1)
+        dx, du = lqr_solve_linear(n_state, n_ctrl, C, F, r, u_zero_I,
+                                  backend=backend, parallel=parallel)
+
+        dtau = jnp.concatenate([dx, du], axis=-1)
+        tau = jnp.concatenate([x, u], axis=-1)
+
+        if wants == "full":
+            dC = -0.5 * (bger(dtau, tau) + bger(tau, dtau))
+            dc = -dtau
+        else:  # "Ff": skip the [T,B,n,n] outer products
+            dC = dc = None
+
+        lams = _adjoint_scan(n_state, C, F, x, u, c, parallel=parallel)
+        dlams = _adjoint_scan(n_state, C, F, dx, du, -r, parallel=parallel)
+
+        dF = -(bger(dlams[1:], tau[:-1]) + bger(lams[1:], dtau[:-1]))
+        df = -dlams[1:] if with_f else jnp.zeros_like(dlams[1:])
+        dx_init = -dlams[0]
+        return KKTGrads(dx_init, dC, dc, dF, df)
+
+    return vjp_xla
+
+
 def kkt_vjp(
     n_state: int,
     n_ctrl: int,
@@ -189,27 +269,9 @@ def kkt_vjp(
     x, u: converged trajectory [T,B,...]; g_x, g_u: loss cotangents.
     u_zero_I: frozen active set (reference freezes the box active set as
     |u-l|<=1e-8 | |u-ub|<=1e-8, lqr_step.py:322-326 -- computed by the
-    caller). Linear in (g_x, g_u).
-
-    parallel (cfg.riccati_parallel): auxiliary solve AND both adjoint
-    recursions as O(log T)-depth associative scans -- the whole VJP,
-    which the IFT mode re-invokes every GMRES iteration, loses its
-    sequential-in-T depth.
+    caller). Linear in (g_x, g_u). One-shot wrapper over make_kkt_vjp.
     """
-    r = jnp.concatenate([g_x, g_u], axis=-1)
-    dx, du = lqr_solve_linear(n_state, n_ctrl, C, F, r, u_zero_I,
-                              backend=backend, parallel=parallel)
-
-    dtau = jnp.concatenate([dx, du], axis=-1)
-    tau = jnp.concatenate([x, u], axis=-1)
-
-    dC = -0.5 * (bger(dtau, tau) + bger(tau, dtau))
-    dc = -dtau
-
-    lams = _adjoint_scan(n_state, C, F, x, u, c, parallel=parallel)
-    dlams = _adjoint_scan(n_state, C, F, dx, du, -r, parallel=parallel)
-
-    dF = -(bger(dlams[1:], tau[:-1]) + bger(lams[1:], dtau[:-1]))
-    df = -dlams[1:] if with_f else jnp.zeros_like(dlams[1:])
-    dx_init = -dlams[0]
-    return KKTGrads(dx_init, dC, dc, dF, df)
+    return make_kkt_vjp(
+        n_state, n_ctrl, C, c, F, x, u, u_zero_I=u_zero_I, with_f=with_f,
+        backend=backend, parallel=parallel,
+    )(g_x, g_u)

@@ -30,7 +30,7 @@ from ..utils.platform import target_platform
 from ..models.base import Dynamics
 from ..types import BackwardMode, ILQRConfig, LinDx, QuadCost
 from .ift import solve_adjoint_dense, solve_adjoint_fixed_point
-from .kkt import kkt_vjp
+from .kkt import make_kkt_vjp
 
 ACTIVE_TOL = 1e-8  # reference lqr_step.py:325-326
 
@@ -223,16 +223,24 @@ def solve_with_grad(
 
         I = _active_set(u, lb, ub)
 
+        # build the KKT-VJP operator ONCE: the fused TPU path pre-lanes
+        # the cotangent-invariant problem data here, outside the GMRES
+        # while_loop (diff/kkt.make_kkt_vjp)
+        vjp_fn = make_kkt_vjp(
+            nx, nu, C, c, F, x, u, u_zero_I=I, with_f=True,
+            backend=cfg.backward_backend or cfg.backend,
+            parallel=cfg.riccati_parallel,
+        )
+
         def sT(w):
-            return kkt_vjp(
-                nx, nu, C, c, F, x, u, w[0], w[1], u_zero_I=I, with_f=True,
-                backend=cfg.backend, parallel=cfg.riccati_parallel,
-            )
+            return vjp_fn(w[0], w[1])
 
         if cfg.backward_mode is BackwardMode.IFT and not lin:
 
             def sT_Ff(w):
-                kg = sT(w)
+                # "Ff": each GMRES iteration consumes only dF/df; the
+                # dC/dc outer products are skipped
+                kg = vjp_fn(w[0], w[1], wants="Ff")
                 return kg.dF, kg.df
 
             def lT_xu(dF, df):

@@ -147,6 +147,11 @@ class ILQRConfig:
     # "pallas" forces the kernels (interpret-mode off TPU -- tests);
     # "xla" disables them.
     backend: str = "auto"
+    # Backend for the KKT/IFT BACKWARD pass specifically (the fused
+    # whole-VJP kernel, ops/pallas/kkt_fused.py). None inherits
+    # ``backend``. Lets the backward be ablated (or forced off) without
+    # changing the forward dispatch.
+    backward_backend: Optional[str] = None
     # Use a differentiable fixed-trip-count outer loop (lax.scan with masks)
     # instead of lax.while_loop. Required for BackwardMode.UNROLL; the
     # while_loop build exits early and is faster for inference.
