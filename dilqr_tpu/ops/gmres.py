@@ -155,24 +155,13 @@ def gmres_batched(
     b_norm = jnp.linalg.norm(b_flat, axis=1)
     atol = tol * (b_norm + _EPS)
 
-    def lstsq_b(H, e1):
-        """Per-example least squares ||H_b y - e1_b|| for the Hessenberg
-        [B, m+1, m] via unrolled Givens QR -- batched over B with plain
-        elementwise ops (no SVD: cheap to compile, lowers on every
-        backend). A converged example's trailing columns are zero; its
-        zero R diagonal entries are guarded and contribute y_j = 0."""
-        R = H
-        g = e1
-        for i in range(m):
-            a, c = R[:, i, i], R[:, i + 1, i]
-            r = jnp.sqrt(a * a + c * c) + _EPS
-            cs, sn = a / r, c / r
-            ri, rj = R[:, i, :], R[:, i + 1, :]
-            R = R.at[:, i, :].set(cs[:, None] * ri + sn[:, None] * rj)
-            R = R.at[:, i + 1, :].set(-sn[:, None] * ri + cs[:, None] * rj)
-            gi, gj = g[:, i], g[:, i + 1]
-            g = g.at[:, i].set(cs * gi + sn * gj)
-            g = g.at[:, i + 1].set(-sn * gi + cs * gj)
+    def back_sub(R, g):
+        """Back-substitution of the PROGRESSIVELY-rotated upper-triangular
+        system R y = g[:m] -- batched over B with plain elementwise ops
+        (cheap to compile, lowers on every backend). Columns the Arnoldi
+        loop never reached (early exit) have a zero R diagonal; the guard
+        assigns them y_j = 0, so the solution uses exactly the Krylov
+        directions that were built."""
         y = jnp.zeros((B, m), dtype)
         for j in range(m - 1, -1, -1):
             num = g[:, j] - jnp.einsum("bk,bk->b", R[:, j, j + 1:],
@@ -183,29 +172,64 @@ def gmres_batched(
                                          0.0))
         return y
 
-    def cycle(x, r):
+    def cycle(x, r, atol):
         # residual vector carried between cycles (see gmres.cycle):
-        # m+1 matvecs per cycle instead of m+2
+        # <= m+1 matvecs per cycle instead of m+2
         beta = jnp.linalg.norm(r, axis=1)        # [B]
         V0 = jnp.zeros((m + 1, B, D), dtype).at[0].set(
             r / (beta + _EPS)[:, None]
         )
-        H0 = jnp.zeros((B, m + 1, m), dtype)
+        # PROGRESSIVE Givens: each Arnoldi step rotates its new
+        # Hessenberg column immediately, so |g[:, i+1]| is the exact
+        # per-example least-squares residual after i+1 directions and the
+        # loop can stop as soon as every example meets tolerance -- each
+        # skipped iteration is one whole KKT-adjoint matvec (a fixed
+        # fori_loop here always paid all m of them, ~2x the need for the
+        # strongly-contracting IFT operator at the default restart).
+        R0 = jnp.zeros((B, m + 1, m), dtype)
+        cssn0 = jnp.zeros((2, B, m), dtype)
+        g0 = jnp.zeros((B, m + 1), dtype).at[:, 0].set(beta)
 
-        def arnoldi(i, carry):
-            V, H = carry
+        def arn_cond(carry):
+            V, R, cssn, g, res, i = carry
+            return (i < m) & jnp.any(res > atol)
+
+        def arnoldi(carry):
+            V, R, cssn, g, res, i = carry
             w = mv(V[i])                         # [B, D]
             # rows j > i of V are zero, so this is exact Gram-Schmidt
             h = jnp.einsum("ibd,bd->bi", V, w)   # [B, m+1]
             w = w - jnp.einsum("bi,ibd->bd", h, V)
             hn = jnp.linalg.norm(w, axis=1)      # [B]
             V = V.at[i + 1].set(w / (hn + _EPS)[:, None])
-            H = H.at[:, :, i].set(h).at[:, i + 1, i].set(hn)
-            return V, H
+            h = h.at[:, i + 1].set(hn)
 
-        V, H = lax.fori_loop(0, m, arnoldi, (V0, H0))
-        e1 = jnp.zeros((B, m + 1), dtype).at[:, 0].set(beta)
-        y = lstsq_b(H, e1)                       # [B, m]
+            # apply the i previous rotations to the new column (rows
+            # j >= i+1 of h beyond hn are zero, so masking j < i is
+            # equivalent to a dynamic-bound loop)
+            def rot(j, h):
+                a, b_ = h[:, j], h[:, j + 1]
+                cs, sn = cssn[0, :, j], cssn[1, :, j]
+                on = (j < i).astype(dtype)
+                h = h.at[:, j].set(jnp.where(on > 0, cs * a + sn * b_, a))
+                h = h.at[:, j + 1].set(
+                    jnp.where(on > 0, -sn * a + cs * b_, b_))
+                return h
+
+            h = lax.fori_loop(0, m, rot, h)
+            a, b_ = h[:, i], h[:, i + 1]
+            rr = jnp.sqrt(a * a + b_ * b_) + _EPS
+            cs, sn = a / rr, b_ / rr
+            h = h.at[:, i].set(cs * a + sn * b_).at[:, i + 1].set(0.0)
+            cssn = cssn.at[0, :, i].set(cs).at[1, :, i].set(sn)
+            gi = g[:, i]
+            g = g.at[:, i].set(cs * gi).at[:, i + 1].set(-sn * gi)
+            R = R.at[:, :, i].set(h)
+            return V, R, cssn, g, jnp.abs(g[:, i + 1]), i + 1
+
+        V, R, _, g, _, _ = lax.while_loop(
+            arn_cond, arnoldi, (V0, R0, cssn0, g0, beta, jnp.int32(0)))
+        y = back_sub(R, g)                       # [B, m]
         x = x + jnp.einsum("bi,ibd->bd", y, V[:m])
         r = b_flat - mv(x)
         return x, r, jnp.linalg.norm(r, axis=1)
@@ -216,7 +240,7 @@ def gmres_batched(
 
     def body(carry):
         x, r, _, i = carry
-        x, r, res = cycle(x, r)
+        x, r, res = cycle(x, r, atol)
         return x, r, res, i + 1
 
     r0 = b_flat - mv(x)
