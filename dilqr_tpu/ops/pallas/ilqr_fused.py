@@ -215,16 +215,24 @@ def _mode_at_width(cfg: ILQRConfig, extras: dict, w: int) -> str:
 def _pick_lanes_width(cfg: ILQRConfig, extras: dict, n_base_tiles: int):
     """Choose the lane-widening factor W and the streaming mode.
 
-    Every [8, 128*W] tile op is W independent vregs: the kernel's
-    dependency chains (Riccati small-matrix arithmetic on single vregs)
-    are latency-bound on the VPU, so interleaving W chains recovers the
-    issue slots a single chain stalls away. Prefer the largest W in
-    {8, 4, 2, 1} that (a) evenly divides the padded batch's base-tile
-    count (widening never adds padding), and (b) fits the VMEM budget
-    without streaming; fall back to the largest W that fits with
-    stream-K, then (for feature sets _full_stream_ok admits -- VMEM
-    residency O(1) in T, so any horizon) full streaming.
+    Every [8, 128*W] tile op is W independent vregs the Mosaic scheduler
+    can interleave in the otherwise single-vreg dependency chains -- but
+    the round-4/5 on-chip measurements disconfirmed "prefer the largest
+    W": W >= 4 LOSES everywhere (pendulum B=4096 T=20: W=4 3.21 ms vs
+    W=1 2.36 ms; B=16384 W=8 9.0 ms vs W=1 5.7 ms -- the wide tiles
+    blow the vreg working set and spill), and W=2 wins only for SMALL
+    states (pendulum n_tau=4: 1.95 ms vs 2.36 ms at B=4096, 4.16 vs
+    5.69 at B=16k) while losing for cartpole n_tau=6 (3.49 vs 2.09 ms).
+    At 2 base tiles W=2 leaves a grid of ONE (no cross-tile pipelining)
+    and loses even for pendulum (1.59 vs 1.49 ms at T=20).
+
+    Policy (follows the data): W=2 iff n_tau <= 4 AND >= 4 base tiles;
+    W=1 otherwise. Streaming-mode fallback order unchanged.
     Returns (W, mode) with mode in {"none", "k", "full"}."""
+    if cfg.n_tau <= 4 and n_base_tiles >= 4 and n_base_tiles % 2 == 0:
+        widths = (2, 1)
+    else:
+        widths = (1,)
     for mode, fits in (
         ("none", lambda w: _vmem_bytes(
             cfg, stream_k=False, bt=BT * w, **extras
@@ -236,9 +244,7 @@ def _pick_lanes_width(cfg: ILQRConfig, extras: dict, n_base_tiles: int):
             cfg, full_stream=True, bt=BT * w, **extras
         ) <= VMEM_SCRATCH_LIMIT),
     ):
-        for w in (8, 4, 2, 1):
-            if n_base_tiles % w:
-                continue
+        for w in widths:
             if fits(w):
                 return w, mode
     return 1, "k" if use_stream_k(cfg, **extras) else "none"

@@ -335,9 +335,10 @@ def main():
     # forced W=1. The f32 vreg is (8,128) = 1024 slots and the entries-
     # on-tiles layout already gives every slot a distinct example, so
     # per-example density cannot rise further at f32 (docs/ROADMAP.md
-    # "sublane packing" post-mortem); the builder-owned lever for n_tau<=4
-    # envs is lane widening (W=4 at 4 base tiles) hiding per-vreg latency
-    # in the single-vreg dependency chains ---
+    # "sublane packing" post-mortem). Round 5 re-measured the widening
+    # lever: only W=2 with n_tau<=4 and >=4 base tiles wins (W>=4
+    # spills); _pick_lanes_width now encodes that policy, and the check
+    # below asserts auto is never slower than forced W=1 beyond noise ---
     Bh = 4096
     thh = rng.uniform(-1.5, 1.5, Bh).astype(np.float32)
     tjh = jnp.asarray(thh)
@@ -365,6 +366,10 @@ def main():
           f"auto-W {Bh / ms_auto * 1e3:,.0f} solves/s vs W=1 "
           f"{Bh / ms_1 * 1e3:,.0f} / W=2 {Bh / ms_2 * 1e3:,.0f} "
           f"({ms_1 / ms_auto:.2f}x / {ms_2 / ms_auto:.2f}x)")
+    # the auto picker must FOLLOW the measurement: never ship a width
+    # that loses to plain W=1 beyond run-to-run noise (10%)
+    check("auto-W >= forced W=1 within noise", ms_auto <= 1.10 * ms_1,
+          f"auto {ms_auto:.3f} ms vs W=1 {ms_1:.3f} ms")
     print("TPU smoke OK")
 
 
