@@ -108,6 +108,66 @@ def main():
         dt = (time.perf_counter() - t0) / 10
         print(f"{B / dt:,.0f} solves/s over {n_dev} devices "
               f"({B / dt / n_dev:,.0f} per device)")
+
+    # 3) TRAINING-step partitioning overhead (the >=0.95-scaling north
+    # star's single-host proxy). A virtual CPU mesh serializes all
+    # devices onto the same cores, so the honest measurable quantity is
+    # OVERHEAD, not speedup: the N-device shard_map'd train step runs the
+    # same total work as the single-device step on the same global batch,
+    # and any extra wall time is partitioning cost (collectives,
+    # rematerialization, infeed) -- exactly what would break linear
+    # scaling on real chips. Run with --timing on a pod for the real
+    # scaling number (scripts/multihost_demo.py for multi-process).
+    import dataclasses
+
+    import optax
+
+    from dilqr_tpu import BackwardMode
+    from dilqr_tpu.parallel.multihost import multihost_train_step
+
+    cfg_t = dataclasses.replace(
+        cfg, lqr_iter=5, eps=1e-3, backprop=True,
+        backward_mode=BackwardMode.IFT)
+    opt = optax.rmsprop(1e-2, decay=0.5)
+    step = multihost_train_step(mesh, cfg_t, dyn, opt, axis_name="batch")
+    params_t = jnp.asarray([11.0, 1.2, 0.9])
+    opt_state = opt.init(params_t)
+    u_exp = jnp.zeros((B, args.horizon, 1), jnp.float32)
+
+    def local_loss(pp, x, ue):
+        res = solve(cfg_t, x, QuadCost(jnp.diag(q), p), dyn, params=pp,
+                    u_lower=dyn.lower, u_upper=dyn.upper)
+        return jnp.mean((res.u - ue) ** 2)
+
+    @jax.jit
+    def step_single(pp, st, x, ue):
+        loss, g = jax.value_and_grad(local_loss)(pp, x, ue)
+        upd, st = opt.update(g, st, pp)
+        return optax.apply_updates(pp, upd), st, loss
+
+    def timed(f, *a, n=5):
+        out = f(*a)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        outs = [f(*a) for _ in range(n)]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / n, out
+
+    x0d = jax.device_put(x0, sh)
+    dt_mesh, out_m = timed(step, params_t, opt_state, x0d, u_exp, q, p)
+    dt_one, out_s = timed(step_single, params_t, opt_state,
+                          jax.device_put(x0, devs[0]),
+                          jax.device_put(u_exp, devs[0]))
+    overhead = dt_mesh / dt_one
+    dp = np.abs(np.asarray(out_m[0]) - np.asarray(out_s[0])).max()
+    print(f"train step: {n_dev}-device mesh {dt_mesh*1e3:.1f} ms vs "
+          f"single-device {dt_one*1e3:.1f} ms on the same global batch "
+          f"-> partitioning overhead {overhead:.2f}x "
+          f"(updated-params max diff {dp:.2e})")
+    assert dp < 1e-4, "sharded train step diverged from single-device"
+    assert overhead < 1.3, (
+        f"shard_map train step pays {overhead:.2f}x partitioning overhead"
+        " on a serializing host -- would break linear scaling on chips")
     print("scaling structure OK: per-example work device-local; only "
           "scalar stopping-rule reductions cross devices")
 

@@ -31,6 +31,16 @@ class Dynamics:
     step: Callable  # (x[nx], u[nu], params) -> x'[nx]
     step_unclamped: Optional[Callable] = None
     jacobian: Optional[Callable] = None
+    # Optional hand-derived Jacobian of the ANALYTIC linearization point
+    # (step_unclamped) in kernel-lane form: (x [nx,...], u [nu,...],
+    # params) -> D [nx, n, ...], broadcasting over trailing tile dims.
+    # Used ONLY by the fused Pallas kernel (grad_method=ANALYTIC): it
+    # replaces the n one-hot jvp sweeps -- measured 38% of kernel cycles
+    # on the cartpole headline -- with the ~3x-cheaper shared-
+    # subexpression form. The XLA path keeps jax.jacfwd (its f64 goldens
+    # are pinned bitwise against the reference); jacfwd-vs-jac_lanes
+    # agreement is oracle-tested per env (tests/test_envs.py).
+    jac_lanes: Optional[Callable] = None
     # box bounds on u (None = unconstrained); scalars or [nu] arrays
     lower: Any = None
     upper: Any = None

@@ -58,6 +58,79 @@ def _step(state, u, params, clamp_u: bool):
     return jnp.stack([x, dx, new_cos, new_sin, dth])
 
 
+def _jac_lanes(state, u, params):
+    """Hand-derived Jacobian D = [dx'/dx | dx'/du] of the UN-clamped step
+    (the ANALYTIC linearization point), [5, 6, ...] broadcasting over
+    trailing tile dims. Independently derived from the physics above
+    (chain rule through cart_in / th_acc / xacc and the rotate_cs
+    renormalization); oracle-tested against jax.jacfwd of
+    `step_unclamped` (tests/test_envs.py). The w-columns of the rotation
+    rows use that the rotation part preserves the norm exactly
+    (d r / d th_dot = 0 in algebra), so d cos'/d th_dot = -dt sin' and
+    d sin'/d th_dot = dt cos'."""
+    if not isinstance(params, (tuple, list)):
+        params = jnp.asarray(params, state[0].dtype)
+    gravity, masscart, masspole, length = params
+    tm = masspole + masscart
+    pml = masspole * length
+    dt = state[0].dtype.type(DT)
+
+    x, v, c, s, w = state
+    uu = u[0]
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+
+    ci = (uu + pml * (w * w) * s) / tm
+    den = length * (4.0 / 3.0 - masspole * (c * c) / tm)
+    ta = (gravity * s - c * ci) / den
+
+    ci_s = pml * (w * w) / tm + zero
+    ci_w = 2.0 * pml * w * s / tm
+    ci_u = 1.0 / tm + zero
+    den_c = -2.0 * length * masspole * c / tm
+    ta_c = (-ci - ta * den_c) / den
+    ta_s = (gravity - c * ci_s) / den
+    ta_w = -c * ci_w / den
+    ta_u = -c * ci_u / den
+    k = pml / tm
+    xacc_c = -k * (ta_c * c + ta)
+    xacc_s = ci_s - k * ta_s * c
+    xacc_w = ci_w - k * ta_w * c
+    xacc_u = ci_u - k * ta_u * c
+
+    # rotation + renormalization rows (see rotate_cs): r = nn^{-1/2}
+    delta = dt * w
+    cd = jnp.cos(delta)
+    sd = jnp.sin(delta)
+    ct = c * cd - s * sd
+    st = s * cd + c * sd
+    nn = ct * ct + st * st
+    import jax
+
+    # lax.rsqrt, NOT 1/sqrt: matches rotate_cs bit-for-bit AND avoids
+    # XLA's context-dependent 1/sqrt->rsqrt rewrite (which made the
+    # cross-mode bitwise kernel tests diverge by one ulp)
+    r = jax.lax.rsqrt(jnp.maximum(nn, c.dtype.type(1e-30)))
+    r2 = r * r
+    A_c = ct * cd + st * sd
+    A_s = -ct * sd + st * cd
+    o3 = ct * r
+    o4 = st * r
+    d_o3_c = r * (cd - ct * A_c * r2)
+    d_o3_s = r * (-sd - ct * A_s * r2)
+    d_o4_c = r * (sd - st * A_c * r2)
+    d_o4_s = r * (cd - st * A_s * r2)
+
+    rows = [
+        [one, dt + zero, zero, zero, zero, zero],
+        [zero, one, dt * xacc_c, dt * xacc_s, dt * xacc_w, dt * xacc_u],
+        [zero, zero, d_o3_c, d_o3_s, -dt * o4, zero],
+        [zero, zero, d_o4_c, d_o4_s, dt * o3, zero],
+        [zero, zero, dt * ta_c, dt * ta_s, one + dt * ta_w, dt * ta_u],
+    ]
+    return jnp.stack([jnp.stack(row) for row in rows])
+
+
 def default_params() -> jnp.ndarray:
     """(gravity, masscart, masspole, length) = (9.8, 1.0, 0.1, 0.5)
     (reference cartpole.py:39)."""
@@ -78,6 +151,7 @@ def make() -> Dynamics:
         n_ctrl=N_CTRL,
         step=lambda x, u, p: _step(x, u, p, clamp_u=True),
         step_unclamped=lambda x, u, p: _step(x, u, p, clamp_u=False),
+        jac_lanes=_jac_lanes,
         lower=-FORCE_MAG,
         upper=FORCE_MAG,
         # per-env MPC hyper-parameters (reference cartpole.py:60-62)

@@ -699,8 +699,8 @@ def _full_input_streams(cost_mode, lin_dx, f_present, u0_zero,
 def _ilqr_kernel(
     # statics bound via partial:
     T, nx, nu, n_params, lqr_iter, pnqp_iter, eps, ls_decay, max_ls_iter,
-    best_cost_eps, not_improved_lim, step_fn, lin_fn, cost_mode, u0_zero,
-    bounds_static, stream_k, uz_present, delta_u_static, unbounded,
+    best_cost_eps, not_improved_lim, step_fn, lin_fn, jac_fn, cost_mode,
+    u0_zero, bounds_static, stream_k, uz_present, delta_u_static, unbounded,
     lin_dx, f_present, cost_fn, n_cost_params, ts,
     *refs,
 ):
@@ -1270,9 +1270,16 @@ def _ilqr_kernel(
                     F = F_at(t, -1)  # zero slab at t = T-1 supplied as data
                 elif _KERNEL_PROBE == "nolin":  # timing ablation only
                     F = jnp.zeros((nx, n) + ts, f32)
-                else:
+                elif jac_fn is not None:
+                    # hand-derived shared-subexpression Jacobian of the
+                    # ANALYTIC linearization point (models/base.py
+                    # jac_lanes; jacfwd-oracle-tested) -- ~3x fewer ops
+                    # than the n one-hot jvp sweeps below.
                     # f32-pinned zero: a python-float branch promotes to
                     # a strong f64 under jax_enable_x64 (no Mosaic cast)
+                    F = jnp.where(t < T - 1, jac_fn(xt, ut, params),
+                                  f32(0.0))
+                else:
                     F = jnp.where(t < T - 1, lin_at(xt, ut), f32(0.0))
                 tau = jnp.concatenate([xt, ut], axis=0)
                 if cost_mode == "callable":
@@ -1950,11 +1957,18 @@ def _pallas_solve(cfg, dyn, n_params, G, cost_mode, cost_specs, u_specs,
         dyn.step if cfg.grad_method is GradMethod.AUTO_DIFF
         else dyn.linearize_point
     )
+    # hand-derived lane Jacobian (ANALYTIC point only -- AUTO_DIFF must
+    # chain through the clamp, which only the jvp sweep reproduces):
+    # replaces the n one-hot jvp applications per Riccati step, measured
+    # 38% of kernel cycles on the cartpole headline (models/base.py)
+    jac_fn = None if lin_dx else (
+        dyn.jac_lanes if cfg.grad_method is GradMethod.ANALYTIC else None
+    )
     kernel = functools.partial(
         _ilqr_kernel, T, nx, nu, n_params, cfg.lqr_iter, cfg.pnqp_iter,
         cfg.eps, cfg.linesearch_decay, cfg.max_linesearch_iter,
         cfg.best_cost_eps, cfg.not_improved_lim, step_fn,
-        lin_fn, cost_mode, u0_zero, bounds_static, stream,
+        lin_fn, jac_fn, cost_mode, u0_zero, bounds_static, stream,
         uz_present, delta_u_static, unbounded, lin_dx, f_present,
         cost_fn, n_cost_params, ts,
     )

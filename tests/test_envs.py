@@ -136,3 +136,38 @@ def test_auto_diff_linearizes_clamped_forward():
 
     g = jax.jvp(lambda v: clamp_t(v, -2.0, 2.0), (2.0,), (1.0,))[1]
     assert g == 1.0, g
+
+
+@pytest.mark.parametrize("name", ["pendulum", "cartpole"])
+def test_jac_lanes_matches_jacfwd(name):
+    """The hand-derived kernel-lane Jacobian (Dynamics.jac_lanes, used by
+    the fused kernel's ANALYTIC linearization in place of the n one-hot
+    jvp sweeps) must agree with jax.jacfwd of step_unclamped at f64 --
+    including on UN-normalized (cos, sin) states, where the rotate_cs
+    renormalization derivative is non-trivial."""
+    from dilqr_tpu.models import cartpole, pendulum
+
+    mod = {"pendulum": pendulum, "cartpole": cartpole}[name]
+    dyn = mod.make()
+    params = mod.default_params().astype(jnp.float64)
+    nx, nu = dyn.n_state, dyn.n_ctrl
+    rng = np.random.RandomState(0)
+    worst = 0.0
+    for _ in range(25):
+        th = rng.uniform(-np.pi, np.pi)
+        scale = 1.0 + 0.3 * rng.randn()
+        if name == "cartpole":
+            x = np.concatenate(
+                [rng.randn(2), [np.cos(th) * scale, np.sin(th) * scale],
+                 rng.randn(1)])
+        else:
+            x = np.array([np.cos(th) * scale, np.sin(th) * scale,
+                          rng.randn()])
+        x = jnp.asarray(x, jnp.float64)
+        u = jnp.asarray(5.0 * rng.randn(nu), jnp.float64)
+        J = jax.jacfwd(
+            lambda xu: dyn.step_unclamped(xu[:nx], xu[nx:], params)
+        )(jnp.concatenate([x, u]))
+        D = dyn.jac_lanes(x, u, params)
+        worst = max(worst, float(jnp.max(jnp.abs(J - D))))
+    assert worst < 1e-12, worst
