@@ -10,6 +10,8 @@ stages fail:
   1. bench.py            -- headline JSON (has its own retry/watchdog)
   2. scripts/tpu_smoke.py -- parity/throughput battery incl. widening,
                              full-stream >=3x, pendulum B=4096 auto-W
+  3. (--fuzz-log) splice in a pre-captured scripts/fuzz_gradients.py
+     summary (CPU-only, ~2 h -- run it separately, pass its log here)
 Writes a timestamped markdown transcript and echoes the bench JSON line.
 """
 import argparse
@@ -37,7 +39,9 @@ def run(cmd, timeout):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "EVIDENCE_r04.md"))
+    ap.add_argument("--out", default=os.path.join(REPO, "EVIDENCE_r05.md"))
+    ap.add_argument("--fuzz-log", default=None,
+                    help="path to a fuzz_gradients.py transcript to embed")
     args = ap.parse_args()
 
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat()
@@ -55,6 +59,15 @@ def main():
     )
     print(out[-2000:].strip())
     ok &= rc == 0
+
+    if args.fuzz_log and os.path.exists(args.fuzz_log):
+        with open(args.fuzz_log) as f:
+            lines = f.read().strip().splitlines()
+        head = "\n".join(lines[:4])
+        tail = "\n".join(lines[-6:])
+        sections.append(
+            "## scripts/fuzz_gradients.py (pre-captured, CPU f64)\n\n"
+            f"```\n{head}\n...\n{tail}\n```\n")
 
     with open(args.out, "w") as f:
         f.write("\n".join(sections))

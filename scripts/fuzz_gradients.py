@@ -47,6 +47,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache + periodic live-executable clearing: every
+# case compiles ~3 fresh UNROLL-sized programs, and accumulated live
+# XLA:CPU executables OOM the process around case ~18 ("LLVM compilation
+# error: Cannot allocate memory" -> SIGSEGV) -- the same failure mode
+# tests/conftest.py bounds by clearing jax caches per module. The disk
+# cache (host-CPU-fingerprinted, see conftest) keeps repeats cheap.
+from dilqr_tpu.utils.platform import cpu_cache_fingerprint  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_fuzz_cache_{cpu_cache_fingerprint()}")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -197,6 +208,8 @@ def main():
     rerolls = 0
     t_start = time.time()
     while done < args.cases:
+        if done % 5 == 4:
+            jax.clear_caches()  # bound live-executable memory (see top)
         case = sample_case(rng)
         prob = build_problem(case, rng)
         T, B = case["T"], case["B"]
