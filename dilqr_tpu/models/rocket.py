@@ -120,6 +120,102 @@ def _step(x, u, params, clamp_u: bool, normalize_quat: bool):
     return new_x
 
 
+def _jac_lanes(x, u, params):
+    """Hand-derived Jacobian D = [dx'/dx | dx'/du] of the UN-clamped,
+    UN-normalized step (the default linearization point), [13, 16, ...]
+    broadcasting over trailing tile dims.
+
+    With normalize_quat=False the step is a pure polynomial map, so
+    every entry is a short product: D = I + dt * d(dx)/d(x,u) with the
+    DCM partials linear in q, the quaternion-kinematics block
+    0.5 Omega(w) (and its q-linear w-partials), and the Euler
+    cross-coupling terms (Jz-Jy) w etc. Independently derived from the
+    physics in _step; oracle-tested against jax.jacfwd of
+    `step_unclamped` (tests/test_envs.py). Replaces the 16 one-hot jvp
+    sweeps per Riccati step in the fused kernel (the megakernel's
+    dominant linearization cost for this env)."""
+    if not isinstance(params, (tuple, list)):
+        params = jnp.asarray(params, x[0].dtype)
+    Jx, Jy, Jz, mass, l = params
+    dt = x[0].dtype.type(DT)
+    q0, q1, q2, q3 = x[6], x[7], x[8], x[9]
+    w0, w1, w2 = x[10], x[11], x[12]
+    T = [u[0], u[1], u[2]]
+    zero = jnp.zeros_like(q0)
+    one = jnp.ones_like(q0)
+
+    # body-to-inertial rows R[i][j] = c[j][i] (see _dcm rows) and the
+    # partials of each c entry w.r.t. (q0, q1, q2, q3)
+    c = [
+        [1 - 2 * (q2 * q2 + q3 * q3), 2 * (q1 * q2 + q0 * q3),
+         2 * (q1 * q3 - q0 * q2)],
+        [2 * (q1 * q2 - q0 * q3), 1 - 2 * (q1 * q1 + q3 * q3),
+         2 * (q2 * q3 + q0 * q1)],
+        [2 * (q1 * q3 + q0 * q2), 2 * (q2 * q3 - q0 * q1),
+         1 - 2 * (q1 * q1 + q2 * q2)],
+    ]
+    two = 2.0
+    dc = {
+        (0, 0): [zero, zero, -2 * two * q2, -2 * two * q3],
+        (0, 1): [two * q3, two * q2, two * q1, two * q0],
+        (0, 2): [-two * q2, two * q3, -two * q0, two * q1],
+        (1, 0): [-two * q3, two * q2, two * q1, -two * q0],
+        (1, 1): [zero, -2 * two * q1, zero, -2 * two * q3],
+        (1, 2): [two * q1, two * q0, two * q3, two * q2],
+        (2, 0): [two * q2, two * q3, two * q0, two * q1],
+        (2, 1): [-two * q1, -two * q0, two * q3, two * q2],
+        (2, 2): [zero, -2 * two * q1, -2 * two * q2, zero],
+    }
+
+    rows = [[zero] * 16 for _ in range(13)]
+    # r rows: r' = r + dt v
+    for i in range(3):
+        rows[i][i] = one
+        rows[i][3 + i] = dt + zero
+    # v rows: v' = v + dt (R T / mass + g)
+    for m in range(3):
+        i = 3 + m
+        rows[i][i] = one
+        for k in range(4):
+            rows[i][6 + k] = dt * (
+                dc[(0, m)][k] * T[0] + dc[(1, m)][k] * T[1]
+                + dc[(2, m)][k] * T[2]
+            ) / mass
+        for j in range(3):
+            rows[i][13 + j] = dt * c[j][m] / mass
+    # q rows: q' = q + 0.5 dt Omega(w) q
+    h = 0.5 * dt
+    qjac = [
+        # (dq_a / dq_b) entries b=0..3, then (dq_a / dw_b) b=0..2
+        ([zero, -h * w0, -h * w1, -h * w2], [-h * q1, -h * q2, -h * q3]),
+        ([h * w0, zero, h * w2, -h * w1], [h * q0, -h * q3, h * q2]),
+        ([h * w1, -h * w2, zero, h * w0], [h * q3, h * q0, -h * q1]),
+        ([h * w2, h * w1, -h * w0, zero], [-h * q2, h * q1, h * q0]),
+    ]
+    for a in range(4):
+        i = 6 + a
+        dqq, dqw = qjac[a]
+        for b in range(4):
+            rows[i][6 + b] = dqq[b] + (one if a == b else zero)
+        for b in range(3):
+            rows[i][10 + b] = dqw[b]
+    # w rows: w' = w + dt (torque(u) - w x (J w)) / J
+    kzy, kxz, kyx = Jz - Jy, Jx - Jz, Jy - Jx
+    rows[10][10] = one
+    rows[10][11] = -dt * kzy * w2 / Jx
+    rows[10][12] = -dt * kzy * w1 / Jx
+    rows[11][10] = -dt * kxz * w2 / Jy
+    rows[11][11] = one
+    rows[11][12] = -dt * kxz * w0 / Jy
+    rows[11][15] = dt * (0.5 * l) / Jy + zero  # d dw1 / d u2 (tq1 = l/2 T2)
+    rows[12][10] = -dt * kyx * w1 / Jz
+    rows[12][11] = -dt * kyx * w0 / Jz
+    rows[12][12] = one
+    rows[12][14] = -dt * (0.5 * l) / Jz + zero  # d dw2 / d u1 (tq2 = -l/2 T1)
+
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
 def default_params() -> jnp.ndarray:
     """(Jx, Jy, Jz, mass, l) = (0.5, 1, 1, 1, 1) (reference rocket.py:29)."""
     return jnp.array([0.5, 1.0, 1.0, 1.0, 1.0], jnp.float32)
@@ -156,6 +252,9 @@ def make(normalize_quat: bool = False) -> Dynamics:
         n_ctrl=N_CTRL,
         step=lambda x, u, p: _step(x, u, p, True, normalize_quat),
         step_unclamped=lambda x, u, p: _step(x, u, p, False, normalize_quat),
+        # the normalize_quat=True quirk variant renormalizes inside the
+        # step; its Jacobian is not the polynomial one below
+        jac_lanes=None if normalize_quat else _jac_lanes,
         lower=LOWER,
         upper=UPPER,
         # per-env MPC hyper-parameters (reference rocket.py:68-70)

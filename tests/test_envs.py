@@ -138,16 +138,17 @@ def test_auto_diff_linearizes_clamped_forward():
     assert g == 1.0, g
 
 
-@pytest.mark.parametrize("name", ["pendulum", "cartpole"])
+@pytest.mark.parametrize("name", ["pendulum", "cartpole", "rocket"])
 def test_jac_lanes_matches_jacfwd(name):
     """The hand-derived kernel-lane Jacobian (Dynamics.jac_lanes, used by
     the fused kernel's ANALYTIC linearization in place of the n one-hot
     jvp sweeps) must agree with jax.jacfwd of step_unclamped at f64 --
     including on UN-normalized (cos, sin) states, where the rotate_cs
     renormalization derivative is non-trivial."""
-    from dilqr_tpu.models import cartpole, pendulum
+    from dilqr_tpu.models import cartpole, pendulum, rocket
 
-    mod = {"pendulum": pendulum, "cartpole": cartpole}[name]
+    mod = {"pendulum": pendulum, "cartpole": cartpole,
+           "rocket": rocket}[name]
     dyn = mod.make()
     params = mod.default_params().astype(jnp.float64)
     nx, nu = dyn.n_state, dyn.n_ctrl
@@ -160,6 +161,11 @@ def test_jac_lanes_matches_jacfwd(name):
             x = np.concatenate(
                 [rng.randn(2), [np.cos(th) * scale, np.sin(th) * scale],
                  rng.randn(1)])
+        elif name == "rocket":
+            q4 = rng.randn(4)
+            q4 = q4 / np.linalg.norm(q4) * scale
+            x = np.concatenate([rng.randn(3), 0.3 * rng.randn(3), q4,
+                                0.5 * rng.randn(3)])
         else:
             x = np.array([np.cos(th) * scale, np.sin(th) * scale,
                           rng.randn()])
