@@ -61,7 +61,10 @@ def _step(state, u, params, clamp_u: bool):
 def _jac_lanes(state, u, params):
     """Hand-derived Jacobian D = [dx'/dx | dx'/du] of the UN-clamped step
     (the ANALYTIC linearization point), [5, 6, ...] broadcasting over
-    trailing tile dims. Independently derived from the physics above
+    trailing tile dims. Same coverage as the reference's symbolic pack
+    (env_dx/cartpole.py:117-153) -- derived independently from _step's
+    physics (incl. the rotate_cs renorm the reference does not have);
+    the parity pin is the jacfwd oracle, not the pack. Independently derived from the physics above
     (chain rule through cart_in / th_acc / xacc and the rotate_cs
     renormalization); oracle-tested against jax.jacfwd of
     `step_unclamped` (tests/test_envs.py). The w-columns of the rotation

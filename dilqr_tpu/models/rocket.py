@@ -123,7 +123,10 @@ def _step(x, u, params, clamp_u: bool, normalize_quat: bool):
 def _jac_lanes(x, u, params):
     """Hand-derived Jacobian D = [dx'/dx | dx'/du] of the UN-clamped,
     UN-normalized step (the default linearization point), [13, 16, ...]
-    broadcasting over trailing tile dims.
+    broadcasting over trailing tile dims. Covers what the reference's
+    sparse index-write pack covers (env_dx/rocket.py:324-426, 69 nnz of
+    a 13x16 D) -- derived independently from _step's physics, not
+    transcribed; the parity pin is the jacfwd oracle, not the pack.
 
     With normalize_quat=False the step is a pure polynomial map, so
     every entry is a short product: D = I + dt * d(dx)/d(x,u) with the
