@@ -94,14 +94,18 @@ def test_kkt_fused_linear_in_cotangent():
         np.asarray(kg2.df), 2.0 * np.asarray(kg1.df), atol=1e-5)
 
 
-def test_vmem_gate_rejects_rocket_t40():
-    # rocket nx=13, nu=3, T=40 exceeds the VMEM-resident budget; the
-    # dispatch must fall back to the XLA scans, not OOM the kernel
-    assert not kkt_fused_supported(40, 13, 3, F32, True)
-    # cartpole headline fits
-    assert kkt_fused_supported(20, 5, 1, F32, True)
-    # f64 never fuses
-    assert not kkt_fused_supported(6, 3, 1, jnp.float64, True)
+def test_vmem_gate_modes():
+    from dilqr_tpu.ops.pallas.kkt_fused import kkt_fused_mode
+
+    # rocket-sized problems exceed the VMEM-resident budget and take
+    # the O(1)-in-T streamed kernel instead of the XLA scans
+    assert kkt_fused_mode(40, 13, 3, F32) == "stream"
+    assert kkt_fused_mode(20, 13, 3, F32) == "stream"
+    # cartpole headline stays fully VMEM-resident
+    assert kkt_fused_mode(20, 5, 1, F32) == "resident"
+    # f64 and nu > 3 never fuse
+    assert kkt_fused_mode(6, 3, 1, jnp.float64) is None
+    assert kkt_fused_mode(6, 3, 4, F32) is None
 
 
 @pytest.mark.parametrize("mode", ["IFT", "KKT"])
@@ -136,3 +140,44 @@ def test_end_to_end_grad_pallas_matches_xla(mode):
     g_p = jax.grad(loss)(params, "pallas")
     np.testing.assert_allclose(
         np.asarray(g_p), np.asarray(g_x), rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("nu", [1, 3])
+def test_kkt_stream_matches_xla_and_resident(nu):
+    """The O(1)-VMEM streamed kernel (rocket-sized problems) vs the XLA
+    path AND the resident kernel -- the per-step math is shared, so
+    stream-vs-resident should agree to the DMA-roundtrip (exact)."""
+    from dilqr_tpu.ops.pallas.kkt_fused import make_kkt_vjp_pallas
+
+    T, B, nx = 7, 5, 4
+    C, c, F, x, u, g_x, g_u = _problem(4, T, B, nx, nu)
+    kg_x = kkt_vjp(nx, nu, C, c, F, x, u, g_x, g_u, backend="xla")
+    outs = {}
+    for mode in ("resident", "stream"):
+        call = make_kkt_vjp_pallas(nx, nu, C, c, F, x, u,
+                                   interpret=True, mode=mode)
+        dxi, dC, dc, dF, df = call(g_x, g_u, True)
+        outs[mode] = dict(dx_init=dxi, dC=dC, dc=dc, dF=dF, df=df)
+    for name in ("dx_init", "dC", "dc", "dF", "df"):
+        np.testing.assert_allclose(
+            np.asarray(outs["stream"][name]), np.asarray(outs[
+                "resident"][name]), atol=0.0,
+            err_msg=f"stream vs resident {name}")
+        np.testing.assert_allclose(
+            np.asarray(outs["stream"][name]),
+            np.asarray(getattr(kg_x, name)), atol=5e-5,
+            err_msg=f"stream vs xla {name}")
+
+
+def test_kkt_stream_rocket_shape():
+    """A genuinely stream-routed shape (nx=13, nu=3: the rocket), via the
+    public dispatch (make_kkt_vjp picks the kernel)."""
+    from dilqr_tpu.diff.kkt import make_kkt_vjp
+    from dilqr_tpu.ops.pallas.kkt_fused import kkt_fused_mode
+
+    T, B, nx, nu = 6, 3, 13, 3
+    assert kkt_fused_mode(T, nx, nu, F32) == "stream"
+    C, c, F, x, u, g_x, g_u = _problem(5, T, B, nx, nu)
+    kg_x = make_kkt_vjp(nx, nu, C, c, F, x, u, backend="xla")(g_x, g_u)
+    kg_p = make_kkt_vjp(nx, nu, C, c, F, x, u, backend="pallas")(g_x, g_u)
+    _compare(kg_p, kg_x, atol=2e-4)  # n=16 recursions, f32
