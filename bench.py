@@ -302,6 +302,50 @@ def main():
         except Exception as e:
             result["ift_fwd_bwd_error"] = repr(e)[:160]
 
+        # rocket IFT step: the hardest env's differentiation path (13
+        # states, 3 controls, T-streamed backward kernel -- 52 -> 9.6 ms
+        # when it landed). Separate try/except; small time budget.
+        stage = "rocket_ift"
+        try:
+            from dilqr_tpu.models import rocket
+
+            rdyn = rocket.make()
+            rq, rp = rocket.get_true_obj()
+            cfg_r = ILQRConfig(
+                n_state=13, n_ctrl=3, T=20, lqr_iter=15, eps=rdyn.mpc_eps,
+                linesearch_decay=rdyn.linesearch_decay,
+                max_linesearch_iter=rdyn.max_linesearch_iter,
+                exit_unconverged=False, detach_unconverged=True,
+                backward_mode=BackwardMode.IFT)
+            Br = 1024
+            xr = jnp.asarray(np.concatenate([
+                np.array([2.0, 0, 0]) + 0.2 * rng.randn(Br, 3),
+                0.05 * rng.randn(Br, 3),
+                np.tile(np.array([1.0, 0, 0, 0]), (Br, 1))
+                + 0.005 * rng.randn(Br, 4),
+                0.01 * rng.randn(Br, 3)], 1), jnp.float32)
+            rparams = rocket.default_params()
+
+            def r_loss(params, x_init):
+                res = solve(cfg_r, x_init, QuadCost(jnp.diag(rq), rp),
+                            rdyn, params=params, u_lower=rdyn.lower,
+                            u_upper=rdyn.upper)
+                return jnp.mean(res.u ** 2)
+
+            run_r = jax.jit(jax.value_and_grad(r_loss))
+            outr2 = run_r(rparams, xr)
+            jax.block_until_ready(outr2)
+            bestr = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs = [run_r(rparams, xr) for _ in range(5)]
+                jax.block_until_ready(outs)
+                bestr = min(bestr, (time.perf_counter() - t0) / 5)
+            result["rocket_ift_fwd_bwd_ms"] = round(bestr * 1e3, 3)
+            result["rocket_ift_solves_per_s"] = round(Br / bestr, 1)
+        except Exception as e:
+            result["rocket_ift_error"] = repr(e)[:160]
+
         # full imempc training step (il/exp.py semantics): differentiable
         # MPC + imitation loss + IFT gradients w.r.t. (cost logits, dyn
         # params) with the sigma(q-logit)/sqrt(q)*p-hat reparameterization
