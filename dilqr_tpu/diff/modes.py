@@ -17,8 +17,7 @@ bounds (mpc.py:156-163).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

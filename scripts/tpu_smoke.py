@@ -140,6 +140,47 @@ def main():
     # is test_grad_modes (IFT vs unrolled oracle, ~1e-7)
     check("IFT grad vs finite differences", rel < 0.15, f"rel {rel:.1e}")
 
+    # --- rocket IFT backward: the T-streamed whole-VJP kernel on real
+    # DMA vs the XLA scans, plus a bitwise determinism check (a staging
+    # race would show up as run-to-run nondeterminism on hardware, which
+    # interpret-mode parity cannot catch) ---
+    rdyn = rocket.make()
+    rq, rp = rocket.get_true_obj()
+    Bi = 256
+    xri = jnp.asarray(np.concatenate([
+        np.array([2.0, 0, 0]) + 0.2 * rng.randn(Bi, 3),
+        0.05 * rng.randn(Bi, 3),
+        np.tile(np.array([1.0, 0, 0, 0]), (Bi, 1))
+        + 0.005 * rng.randn(Bi, 4),
+        0.01 * rng.randn(Bi, 3)], 1), jnp.float32)
+    cfg_ri = ILQRConfig(
+        n_state=13, n_ctrl=3, T=20, lqr_iter=10, eps=rdyn.mpc_eps,
+        linesearch_decay=rdyn.linesearch_decay,
+        max_linesearch_iter=rdyn.max_linesearch_iter,
+        exit_unconverged=False, detach_unconverged=True,
+        backward_mode=BackwardMode.IFT)
+
+    def r_grad(bb):
+        cfg_b = dataclasses.replace(cfg_ri, backward_backend=bb)
+
+        def loss(params, x):
+            res = solve(cfg_b, x, QuadCost(jnp.diag(rq), rp), rdyn,
+                        params=params, u_lower=rdyn.lower,
+                        u_upper=rdyn.upper)
+            return jnp.mean(res.u ** 2)
+
+        return jax.jit(jax.grad(loss))
+
+    gf = r_grad(None)
+    g1 = np.asarray(gf(rocket.default_params(), xri))
+    g2 = np.asarray(gf(rocket.default_params(), xri))
+    gx = np.asarray(r_grad("xla")(rocket.default_params(), xri))
+    check("rocket streamed-KKT backward deterministic (bitwise)",
+          bool(np.array_equal(g1, g2)), f"{g1} vs {g2}")
+    relr = float(np.linalg.norm(g1 - gx) / (np.linalg.norm(gx) + 1e-12))
+    check("rocket streamed-KKT backward vs XLA grads", relr < 1e-3,
+          f"rel {relr:.1e}")
+
     # --- throughput ---
     dyn = cartpole.make()
     q, p = cartpole.get_true_obj()
